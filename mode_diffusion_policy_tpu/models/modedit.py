@@ -1,0 +1,471 @@
+"""MoDeDiT — the Mixture-of-Denoising-Experts diffusion transformer, TPU-native.
+
+Re-design (not a port) of the reference denoiser
+(/root/reference/mode/models/networks/modedit.py:641-1090):
+
+Token layout (B batch, D embed):
+    [ sigma_token | goal_token | static_cam_token gripper_cam_token | a_1 .. a_10 ]
+with learned positional embeddings added to goal/state/action tokens
+(modedit.py:770-790) and causal self-attention over the 14-token sequence.
+
+Key TPU-first design decisions:
+- **Stacked expert weights**: the 4 SwishGLU expert FFNs per block are one
+  ``[E, D, 2H]`` / ``[E, H, D]`` parameter pair evaluated via grouped einsums
+  (see ops/moe.py) instead of a Python loop + scatter (modedit.py:560-572).
+- **Routing is data-independent given sigma**: the router input is the noise
+  token only (router_context_cond_only, modedit.py:440,331-334), so routing is
+  identical for every token/sample at a fixed sigma. Inference precomputes the
+  per-sigma top-2 (indices, probs) and the whole MoE becomes two gathered
+  matmuls — sigma-indexed static arrays replace the reference's fragile
+  float-keyed ``fused_experts[c.mean().item()]`` cache (modedit.py:541-546).
+- **Sampling-based training routing** uses the Gumbel-top-k trick (exactly
+  distributionally equal to torch.multinomial without replacement,
+  modedit.py:390).
+- Everything is a pure function of (params, inputs, rng) — jit/scan/pjit safe.
+
+Aux outputs (router logits/probs, load-balance terms, expert counts) are
+returned explicitly instead of stashed on module attributes
+(modedit.py:583-605).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.primitives import RMSNorm, gumbel_topk_sample
+from ..ops.moe import moe_ffn_dense, moe_ffn_top2_gather
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MoDeDiTConfig:
+    """Hyperparameters, mirroring conf/model/mode_agent.yaml:46-76 of the
+    reference so configs map 1:1."""
+
+    obs_dim: int = 2048            # FiLM-ResNet-50 feature dim
+    goal_dim: int = 512            # CLIP text embedding dim
+    action_dim: int = 7
+    embed_dim: int = 1024
+    n_layers: int = 12
+    n_heads: int = 8
+    goal_seq_len: int = 1
+    obs_seq_len: int = 1
+    action_seq_len: int = 10
+    state_dim: int = 8             # proprio dim (unused unless use_proprio)
+    goal_conditioned: bool = True
+    causal: bool = True
+    use_proprio: bool = False
+    embed_pdrob: float = 0.0
+    goal_drop: float = 0.1         # CFG goal-dropout prob (elementwise Bernoulli)
+    attn_pdrop: float = 0.3
+    mlp_pdrop: float = 0.1
+    linear_output: bool = True
+    cond_router: bool = True
+    num_experts: int = 4
+    top_k: int = 2
+    router_normalize: bool = True
+    router_temperature: float = 1.0
+    use_goal_in_routing: bool = False
+    use_argmax: bool = False
+    use_shared_expert: bool = False
+    use_noise_token_as_input: bool = True
+    init_style: str = "olmoe"
+    dtype: Any = jnp.float32       # computation dtype (bfloat16 for TPU speed)
+
+    @property
+    def seq_size(self) -> int:
+        # learned positional-embedding table length (modedit.py:682)
+        return self.goal_seq_len + self.obs_seq_len - 1 + self.action_seq_len
+
+    @property
+    def total_tokens(self) -> int:
+        # sigma + goal + 2 camera tokens + action tokens
+        return (1 if self.use_noise_token_as_input else 0) + \
+            (self.goal_seq_len if self.goal_conditioned else 0) + 2 + self.action_seq_len
+
+
+def _trunc_normal_init(std: float, clip: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.truncated_normal(key, -clip / std, clip / std, shape, dtype) * std
+    return init
+
+
+def kernel_init_for(style: str, fan_in: int):
+    if style == "olmoe":
+        return _trunc_normal_init(0.02, 0.04)
+    if style == "switch_t":
+        std = math.sqrt(0.1 / fan_in)
+        return _trunc_normal_init(std, 2 * std)
+    return nn.initializers.normal(0.02)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+class Attention(nn.Module):
+    """Causal multi-head self-attention with optional per-head QK RMSNorm
+    (reference modedit.py:94-167). QKV projected by one fused matmul."""
+
+    cfg: MoDeDiTConfig
+    causal: bool = True
+    qk_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        cfg = self.cfg
+        D, H = cfg.embed_dim, cfg.n_heads
+        hd = D // H
+        B, T, _ = x.shape
+        init = kernel_init_for(cfg.init_style, D)
+
+        if context is None:
+            qkv = nn.Dense(3 * D, use_bias=True, name="wqkv", kernel_init=init,
+                           dtype=cfg.dtype)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            S = T
+        else:
+            q = nn.Dense(D, use_bias=True, name="wq", kernel_init=init, dtype=cfg.dtype)(x)
+            kvin = context
+            kv = nn.Dense(2 * D, use_bias=True, name="wkv", kernel_init=init,
+                          dtype=cfg.dtype)(kvin)
+            k, v = jnp.split(kv, 2, axis=-1)
+            S = context.shape[1]
+
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, S, H, hd)
+        v = v.reshape(B, S, H, hd)
+        if self.qk_norm:
+            q = RMSNorm(hd, eps=1e-6, name="q_norm")(q)
+            k = RMSNorm(hd, eps=1e-6, name="k_norm")(k)
+
+        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / math.sqrt(hd)
+        if self.causal and context is None:
+            mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+            logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        attn = nn.Dropout(cfg.attn_pdrop, name="attn_drop")(attn, deterministic=not train)
+        y = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+        y = nn.Dense(D, use_bias=False, name="c_proj", kernel_init=init, dtype=cfg.dtype)(y)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Router
+# ---------------------------------------------------------------------------
+
+class CondRouterMLP(nn.Module):
+    """Router MLP: Linear(D->2D) -> GELU -> Linear(2D->E)
+    (reference CondRouterMLP with use_swish=False, modedit.py:170-217;
+    weights normal(0.02), zero bias, modedit.py:212-217)."""
+
+    in_dim: int
+    num_experts: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        init = nn.initializers.normal(0.02)
+        h = nn.Dense(2 * self.in_dim, name="fc1", kernel_init=init, dtype=self.dtype)(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(self.num_experts, name="fc2", kernel_init=init, dtype=self.dtype)(h)
+
+
+class RouterCond(nn.Module):
+    """Noise-conditioned top-k router (reference RouterCond, modedit.py:269-421).
+
+    Returns (router_mask [B,T,E], top_k_idx [B,T,k], router_probs [B,T,E]
+    masked+renormalized, true_probs [B,T,E], shifted_logits [B,T,E]).
+    """
+
+    cfg: MoDeDiTConfig
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, cond: Optional[jax.Array], *,
+                 train: bool = False):
+        cfg = self.cfg
+        E, k = cfg.num_experts, cfg.top_k
+        B, T, D = inputs.shape
+
+        if cfg.cond_router:
+            assert cond is not None
+            # cond is [B, Tc, D]; broadcast to all T tokens (modedit.py:326-334,
+            # router_context_cond_only=True: router sees ONLY the cond token)
+            if cond.shape[1] != T:
+                reps = T // cond.shape[1]
+                cond_rep = jnp.repeat(cond, reps, axis=1)
+            else:
+                cond_rep = cond
+            router_in = cond_rep
+            in_dim = D
+        else:
+            router_in = inputs
+            in_dim = D
+
+        logits = CondRouterMLP(in_dim, E, dtype=cfg.dtype, name="mlp")(router_in)
+        logits = logits.astype(jnp.float32)
+        # shift by max and apply temperature before softmax (modedit.py:343-349)
+        logits = (logits - jnp.max(logits, axis=-1, keepdims=True)) / cfg.router_temperature
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.clip(probs, 1e-9, 1 - 1e-9)
+
+        if train and not cfg.use_argmax:
+            key = self.make_rng("router")
+            idx = gumbel_topk_sample(key, jnp.log(probs), k)  # [B,T,k]
+        else:
+            _, idx = jax.lax.top_k(probs, k)
+
+        mask = jax.nn.one_hot(idx, E, dtype=probs.dtype).sum(axis=-2)  # [B,T,E]
+        router_probs = probs * mask
+        if cfg.router_normalize:
+            router_probs = router_probs / jnp.sum(router_probs, axis=-1, keepdims=True)
+        return mask, idx, router_probs, probs, logits
+
+
+# ---------------------------------------------------------------------------
+# Transformer block with MoE FFN
+# ---------------------------------------------------------------------------
+
+class NoiseBlockMoE(nn.Module):
+    """Block: x += attn(rms(x) + c); x = rms(x); x += MoE(x)
+    (reference NoiseBlockMoE.forward, modedit.py:530-595 — note the second
+    RMSNorm *replaces* the residual stream before the MoE, which we reproduce).
+    """
+
+    cfg: MoDeDiTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.embed_dim
+        Hh = 4 * D
+        E = cfg.num_experts
+        self.ln_1 = RMSNorm(D, eps=1e-6)
+        self.ln_2 = RMSNorm(D, eps=1e-6)
+        self.attn = Attention(cfg, causal=cfg.causal, qk_norm=True)
+        self.router = RouterCond(cfg)
+        init = kernel_init_for(cfg.init_style, D)
+        init_h = kernel_init_for(cfg.init_style, Hh)
+        self.w1 = self.param("experts_w1", init, (E, D, 2 * Hh), jnp.float32)
+        self.b1 = self.param("experts_b1", nn.initializers.zeros, (E, 2 * Hh), jnp.float32)
+        self.w2 = self.param("experts_w2", init_h, (E, Hh, D), jnp.float32)
+        self.mlp_drop = nn.Dropout(cfg.mlp_pdrop)
+
+    def __call__(self, x: jax.Array, c: jax.Array, *, train: bool = False,
+                 moe_override: Optional[Tuple[jax.Array, jax.Array]] = None):
+        """moe_override: optional (top2_idx [k], top2_probs [k]) — the
+        per-sigma precomputed routing for the inference fast path."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        x = x + self.attn(self.ln_1(x) + c, train=train)
+        x = self.ln_2(x)
+
+        w1 = self.w1.astype(dt)
+        b1 = self.b1.astype(dt)
+        w2 = self.w2.astype(dt)
+
+        if moe_override is not None:
+            idx, p = moe_override
+            out = moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
+            return x + out, None
+
+        mask, idx, router_probs, probs, logits = self.router(x, c, train=train)
+        # expert dropout sits between SwishGLU and w2 in the reference Mlp —
+        # applied to the activation tensor here (train only, p=mlp_pdrop)
+        out = self._moe_with_dropout(x, router_probs.astype(dt), w1, b1, w2, train)
+        B, T, _ = x.shape
+        batch_tokens = B * T
+        aux = {
+            "logits": logits,
+            "probs": probs,
+            "router_mask": mask,
+            # modedit.py:589-592
+            "load_balancing_term": cfg.num_experts * jnp.sum(
+                jnp.mean(router_probs, axis=(0, 1))
+                * (jnp.sum(mask, axis=(0, 1)) / batch_tokens)
+            ),
+            "expert_counts": jnp.sum(mask, axis=(0, 1)),
+            "tokens": batch_tokens,
+        }
+        return x + out, aux
+
+    def _moe_with_dropout(self, x, router_probs, w1, b1, w2, train):
+        cfg = self.cfg
+        if not train or cfg.mlp_pdrop == 0.0:
+            return moe_ffn_dense(x, router_probs, w1, b1, w2)
+        from ..ops.primitives import swish_glu
+        h = jnp.einsum("btd,edh->ebth", x, w1) + b1[:, None, None, :]
+        act = swish_glu(h)
+        act = self.mlp_drop(act, deterministic=False)
+        eo = jnp.einsum("ebth,ehd->ebtd", act, w2)
+        return jnp.einsum("bte,ebtd->btd", router_probs, eo)
+
+    def route_for_cond(self, c: jax.Array):
+        """Run only the router on a cond token [B,1,D]; returns top-k
+        (idx [B,k], probs [B,k]) — used for per-sigma expert precompute
+        (reference prepare_fused_expert, modedit.py:607-633)."""
+        _, idx, router_probs, _, _ = self.router(c, c, train=False)
+        p = jnp.take_along_axis(router_probs[:, 0], idx[:, 0], axis=-1)
+        return idx[:, 0], p
+
+
+# ---------------------------------------------------------------------------
+# Full denoiser
+# ---------------------------------------------------------------------------
+
+class MoDeDiT(nn.Module):
+    """The full MoDE DiT denoiser (reference MoDeDiT, modedit.py:641-1090)."""
+
+    cfg: MoDeDiTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        D = cfg.embed_dim
+        init = kernel_init_for(cfg.init_style, D)
+        self.sigma_emb = nn.Dense(D, use_bias=True, name="sigma_emb",
+                                  kernel_init=kernel_init_for(cfg.init_style, 1),
+                                  dtype=cfg.dtype)
+        self.sigma_linear = nn.Dense(D, use_bias=False, name="sigma_linear",
+                                     kernel_init=init, dtype=cfg.dtype)
+        self.tok_emb = nn.Dense(D, use_bias=False, name="tok_emb",
+                                kernel_init=kernel_init_for(cfg.init_style, cfg.obs_dim),
+                                dtype=cfg.dtype)
+        self.goal_emb = nn.Dense(D, use_bias=False, name="goal_emb",
+                                 kernel_init=kernel_init_for(cfg.init_style, cfg.goal_dim),
+                                 dtype=cfg.dtype)
+        self.action_emb = nn.Dense(D, use_bias=False, name="action_emb",
+                                   kernel_init=kernel_init_for(cfg.init_style, cfg.action_dim),
+                                   dtype=cfg.dtype)
+        if cfg.use_proprio:
+            self.state_embed = nn.Dense(D, use_bias=False, name="state_embed",
+                                        kernel_init=init, dtype=cfg.dtype)
+        self.pos_emb = self.param("pos_emb", _trunc_normal_init(0.02, 0.04)
+                                  if cfg.init_style == "olmoe" else nn.initializers.normal(0.02),
+                                  (1, cfg.seq_size, D), jnp.float32)
+        self.drop = nn.Dropout(cfg.embed_pdrob)
+        self.blocks = [NoiseBlockMoE(cfg, name=f"blocks_{i}") for i in range(cfg.n_layers)]
+        self.ln = RMSNorm(D, eps=1e-6)
+        self.out = nn.Dense(cfg.action_dim, use_bias=True, name="out",
+                            kernel_init=init, dtype=cfg.dtype)
+
+    # -- sigma ------------------------------------------------------------
+    def process_sigma_embeddings(self, sigma: jax.Array) -> jax.Array:
+        """log(sigma)/4 -> Linear -> Linear (modedit.py:823-832). sigma: [B]."""
+        s = jnp.log(sigma.astype(jnp.float32)) / 4.0
+        s = s.reshape(-1, 1).astype(self.cfg.dtype)
+        emb = self.sigma_linear(self.sigma_emb(s))
+        return emb[:, None, :]  # [B,1,D]
+
+    # -- goals ------------------------------------------------------------
+    def preprocess_goals(self, goals: jax.Array, *, train: bool,
+                         uncond: bool) -> jax.Array:
+        cfg = self.cfg
+        if goals.ndim == 2:
+            goals = goals[:, None, :]
+        if goals.shape[-1] == 2 * cfg.obs_dim:
+            goals = goals[..., : cfg.obs_dim]
+        if train and cfg.goal_drop > 0.0:
+            # elementwise Bernoulli CFG dropout (modedit.py:882-893)
+            key = self.make_rng("goal_mask")
+            mask = jax.random.bernoulli(key, cfg.goal_drop, goals.shape)
+            goals = goals * (1.0 - mask.astype(goals.dtype))
+        if uncond:
+            goals = jnp.zeros_like(goals)
+        return goals
+
+    # -- main -------------------------------------------------------------
+    def __call__(self, states: Dict[str, jax.Array], actions: jax.Array,
+                 goals: jax.Array, sigma: jax.Array, *,
+                 train: bool = False, uncond: bool = False,
+                 moe_overrides: Optional[Sequence[Tuple[jax.Array, jax.Array]]] = None,
+                 return_aux: bool = False):
+        """Predict denoised actions.
+
+        states['state_images']: [B, T_s, obs_dim] camera tokens (T_s=2).
+        actions: [B, action_seq_len, action_dim] (noised, pre-scaled by c_in).
+        goals:   [B, goal_dim] or [B, 1, goal_dim].
+        sigma:   [B] noise levels.
+        moe_overrides: per-layer (top2_idx, top2_probs) for inference.
+        """
+        cfg = self.cfg
+        t = 1
+        emb_t = self.process_sigma_embeddings(sigma)           # [B,1,D]
+        goals = self.preprocess_goals(goals, train=train, uncond=uncond)
+
+        state_embed = self.tok_emb(states["state_images"].astype(cfg.dtype))
+        goal_embed = self.goal_emb(goals.astype(cfg.dtype))
+        action_embed = self.action_emb(actions.astype(cfg.dtype))
+
+        pos = self.pos_emb.astype(cfg.dtype)
+        g = cfg.goal_seq_len
+        det = not train
+        goal_x = self.drop(goal_embed + pos[:, :g, :], deterministic=det)
+        # both camera tokens share position g (broadcast, modedit.py:780)
+        state_x = self.drop(state_embed + pos[:, g:(g + t), :], deterministic=det)
+        # action tokens overlap the state position (modedit.py:782)
+        action_x = self.drop(action_embed + pos[:, (g + t - 1):, :], deterministic=det)
+
+        seqs = []
+        if cfg.use_noise_token_as_input:
+            seqs.append(emb_t)
+        if cfg.goal_conditioned:
+            seqs.append(goal_x)
+        seqs.extend([state_x, action_x])
+        x = jnp.concatenate(seqs, axis=1)
+
+        cond_token = emb_t
+        if cfg.use_goal_in_routing:
+            cond_token = cond_token + goal_embed
+
+        aux_layers = []
+        for i, block in enumerate(self.blocks):
+            ov = None if moe_overrides is None else moe_overrides[i]
+            x, aux = block(x, cond_token, train=train, moe_override=ov)
+            aux_layers.append(aux)
+        x = self.ln(x)
+        pred = self.out(x[:, -cfg.action_seq_len:, :])
+
+        if return_aux:
+            return pred, aux_layers
+        return pred
+
+    # -- routing precompute (inference fast path) -------------------------
+    def precompute_routing(self, sigmas: jax.Array):
+        """For each sigma in [S] return per-layer (idx [S,k], probs [S,k]) —
+        the sigma-indexed replacement for the reference's float-keyed fused
+        expert cache (modedit.py:971-1011)."""
+        emb = self.process_sigma_embeddings(sigmas)  # [S,1,D]
+        per_layer = []
+        for block in self.blocks:
+            idx, p = block.route_for_cond(emb)
+            per_layer.append((idx, p))
+        return per_layer
+
+
+# ---------------------------------------------------------------------------
+# Aux losses (reference modedit.py:898-969)
+# ---------------------------------------------------------------------------
+
+def load_balancing_loss(aux_layers) -> jax.Array:
+    terms = [a["load_balancing_term"] for a in aux_layers if a is not None]
+    return jnp.mean(jnp.stack(terms)) if terms else jnp.float32(0.0)
+
+
+def router_z_loss(aux_layers, eps: float = 1e-6) -> jax.Array:
+    """mean over tokens of log(sum(exp(logits)) + eps)^2, averaged over layers
+    (note: logits are post max-shift, matching the reference's stored logits)."""
+    losses = []
+    for a in aux_layers:
+        if a is None:
+            continue
+        lse = jnp.log(jnp.sum(jnp.exp(a["logits"]), axis=-1) + eps)
+        losses.append(jnp.mean(lse ** 2))
+    return jnp.mean(jnp.stack(losses)) if losses else jnp.float32(0.0)

@@ -1,0 +1,165 @@
+"""PyTorch checkpoint -> JAX parameter pytree conversion.
+
+Maps the reference MoDE state dicts (Lightning .ckpt / HF
+``model_cleaned.safetensors``, see /root/reference/mode/models/mode_agent.py:
+134-265 for the reference's own remapping rules) onto this framework's
+parameter layout. Linear ``weight`` tensors are transposed ([out,in] ->
+[in,out] flax kernels), per-expert FFN weights are *stacked* along a leading
+expert axis, and the per-head q/k/v projections are fused into one qkv kernel.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+# the reference's own prefix remaps for published checkpoints
+# (mode_agent.py:218-223)
+_PREFIX_REMAPS = {
+    "img_encoder_image_wrist.": "gripper_resnet.",
+    "img_encoder_image_secondary.": "static_resnet.",
+    "img_encoder_image_primary.": "static_resnet.",
+    "net.": "gripper_resnet.resnet.",
+}
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def normalize_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Strip Lightning prefixes and apply the reference's historical key
+    remaps; drop CLIP visual towers (mode_agent.py:209-226)."""
+    out = {}
+    for key, val in state_dict.items():
+        if "visual" in key or "clip" in key.lower():
+            continue
+        for old, new in _PREFIX_REMAPS.items():
+            if key.startswith(old):
+                key = key.replace(old, new, 1)
+                break
+        out[key] = _np(val)
+    return out
+
+
+def convert_modedit(state_dict: Mapping[str, Any], n_layers: int,
+                    num_experts: int, prefix: str = "model.inner_model.",
+                    ) -> Dict[str, Any]:
+    """Convert the reference MoDeDiT weights to this framework's flax params.
+
+    Reference module paths (modedit.py:641-725):
+      {p}sigma_emb / sigma_linear / tok_emb / goal_emb / action_emb / pos_emb
+      {p}blocks.{i}.ln_1.g, .attn.{query,key,value,c_proj}, .attn.{q,k}_norm.g
+      {p}blocks.{i}.router.router.mlp.{0,3}
+      {p}blocks.{i}.experts.expert_{e}.mlp.{0.project,2}
+      {p}ln.g, {p}out
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    p = prefix
+    params: Dict[str, Any] = {}
+
+    def dense(src: str, dst_path, bias: bool = True):
+        _set(params, dst_path + ("kernel",), sd[f"{src}.weight"].T)
+        if bias and f"{src}.bias" in sd:
+            _set(params, dst_path + ("bias",), sd[f"{src}.bias"])
+
+    dense(f"{p}sigma_emb", ("sigma_emb",))
+    dense(f"{p}sigma_linear", ("sigma_linear",), bias=False)
+    dense(f"{p}tok_emb", ("tok_emb",), bias=False)
+    dense(f"{p}goal_emb", ("goal_emb",), bias=False)
+    dense(f"{p}action_emb", ("action_emb",), bias=False)
+    if f"{p}state_embed.weight" in sd:
+        dense(f"{p}state_embed", ("state_embed",), bias=False)
+    params["pos_emb"] = sd[f"{p}pos_emb"]
+    params["ln"] = {"g": sd[f"{p}ln.g"]}
+    dense(f"{p}out", ("out",))
+
+    for i in range(n_layers):
+        b = f"{p}blocks.{i}."
+        blk: Dict[str, Any] = {}
+        blk["ln_1"] = {"g": sd[b + "ln_1.g"]}
+        blk["ln_2"] = {"g": sd[b + "ln_2.g"]}
+        # fused qkv (reference has separate query/key/value Linears,
+        # modedit.py:108-110)
+        qw, kw, vw = (sd[b + f"attn.{n}.weight"] for n in ("query", "key", "value"))
+        qb, kb, vb = (sd[b + f"attn.{n}.bias"] for n in ("query", "key", "value"))
+        attn = {
+            "wqkv": {"kernel": np.concatenate([qw.T, kw.T, vw.T], axis=1),
+                     "bias": np.concatenate([qb, kb, vb])},
+            "c_proj": {"kernel": sd[b + "attn.c_proj.weight"].T},
+            "q_norm": {"g": sd[b + "attn.q_norm.g"]},
+            "k_norm": {"g": sd[b + "attn.k_norm.g"]},
+        }
+        blk["attn"] = attn
+        blk["router"] = {"mlp": {
+            "fc1": {"kernel": sd[b + "router.router.mlp.0.weight"].T,
+                    "bias": sd[b + "router.router.mlp.0.bias"]},
+            "fc2": {"kernel": sd[b + "router.router.mlp.3.weight"].T,
+                    "bias": sd[b + "router.router.mlp.3.bias"]},
+        }}
+        # stacked experts (reference Mlp: SwishGLU.project + out Linear,
+        # modedit.py:220-265)
+        w1 = np.stack([sd[b + f"experts.expert_{e}.mlp.0.project.weight"].T
+                       for e in range(num_experts)])
+        b1 = np.stack([sd[b + f"experts.expert_{e}.mlp.0.project.bias"]
+                       for e in range(num_experts)])
+        w2 = np.stack([sd[b + f"experts.expert_{e}.mlp.2.weight"].T
+                       for e in range(num_experts)])
+        blk["experts_w1"] = w1
+        blk["experts_b1"] = b1
+        blk["experts_w2"] = w2
+        params[f"blocks_{i}"] = blk
+
+    return params
+
+
+def detect_layout(state_dict: Mapping[str, Any]):
+    """Infer (n_layers, num_experts, prefix) from a reference state dict."""
+    keys = list(state_dict.keys())
+    prefix = ""
+    for k in keys:
+        m = re.match(r"(.*?)blocks\.0\.ln_1\.g$", k)
+        if m:
+            prefix = m.group(1)
+            break
+    layers = set()
+    experts = set()
+    for k in keys:
+        m = re.match(re.escape(prefix) + r"blocks\.(\d+)\.", k)
+        if m:
+            layers.add(int(m.group(1)))
+        m = re.match(re.escape(prefix) + r"blocks\.\d+\.experts\.expert_(\d+)\.", k)
+        if m:
+            experts.add(int(m.group(1)))
+    return (max(layers) + 1 if layers else 0,
+            max(experts) + 1 if experts else 0, prefix)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a Lightning .ckpt, raw .pt, or safetensors file into numpy."""
+    import os
+    if path.endswith(".safetensors") or (
+            os.path.isdir(path)):
+        from safetensors.numpy import load_file
+        if os.path.isdir(path):
+            for cand in ("model_cleaned.safetensors", "model.safetensors"):
+                f = os.path.join(path, cand)
+                if os.path.exists(f):
+                    return dict(load_file(f))
+            raise FileNotFoundError(f"no safetensors found in {path}")
+        return dict(load_file(path))
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    sd = data.get("state_dict", data) if isinstance(data, dict) else data
+    return {k: _np(v) for k, v in sd.items()}

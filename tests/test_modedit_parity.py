@@ -1,0 +1,182 @@
+"""Golden-value parity: JAX MoDeDiT vs the reference PyTorch implementation.
+
+Strategy: instantiate the reference torch model (random torch init), convert
+its state dict with utils/checkpoint_convert.convert_modedit, and compare
+eval-mode forward outputs on identical inputs. This validates the model math
+AND the checkpoint converter in one shot (SURVEY.md §4 consequence (a))."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from mode_diffusion_policy_tpu.models.modedit import (
+    MoDeDiT, MoDeDiTConfig, load_balancing_loss, router_z_loss)
+from mode_diffusion_policy_tpu.utils.checkpoint_convert import convert_modedit
+from reference_oracle import load_reference_modedit
+
+
+CFG = dict(obs_dim=32, goal_dim=16, action_dim=7, embed_dim=64, n_layers=2,
+           n_heads=4, goal_seq_len=1, obs_seq_len=1, action_seq_len=10)
+
+
+def make_pair(seed=0):
+    ref = load_reference_modedit()
+    torch.manual_seed(seed)
+    tmodel = ref.MoDeDiT(
+        obs_dim=CFG["obs_dim"], goal_dim=CFG["goal_dim"], device="cpu",
+        goal_conditioned=True, action_dim=CFG["action_dim"],
+        embed_dim=CFG["embed_dim"], embed_pdrob=0.0, attn_pdrop=0.3,
+        n_layers=CFG["n_layers"], n_heads=CFG["n_heads"],
+        goal_seq_len=1, obs_seq_len=1, action_seq_len=10, state_dim=8,
+        mlp_pdrop=0.1, goal_drop=0.1, cond_router=True, num_experts=4,
+        top_k=2, router_normalize=True, use_argmax=False,
+        use_shared_expert=False, use_noise_token_as_input=True,
+        init_style="olmoe")
+    tmodel.eval()
+    # randomize pos_emb (torch init leaves it zeros)
+    with torch.no_grad():
+        tmodel.pos_emb.normal_(0, 0.02)
+
+    jcfg = MoDeDiTConfig(**CFG)
+    jmodel = MoDeDiT(jcfg)
+    params = convert_modedit(tmodel.state_dict(), n_layers=CFG["n_layers"],
+                             num_experts=4, prefix="")
+    return tmodel, jmodel, params
+
+
+def make_inputs(seed=1, B=3):
+    rng = np.random.default_rng(seed)
+    states = rng.standard_normal((B, 2, CFG["obs_dim"])).astype(np.float32)
+    actions = rng.standard_normal((B, 10, CFG["action_dim"])).astype(np.float32)
+    goals = rng.standard_normal((B, 1, CFG["goal_dim"])).astype(np.float32)
+    sigma = np.exp(rng.uniform(np.log(1e-3), np.log(80), (B,))).astype(np.float32)
+    return states, actions, goals, sigma
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return make_pair()
+
+
+def test_eval_forward_parity(pair):
+    tmodel, jmodel, params = pair
+    states, actions, goals, sigma = make_inputs()
+
+    with torch.no_grad():
+        t_out = tmodel({"state_images": torch.tensor(states)},
+                       torch.tensor(actions), torch.tensor(goals),
+                       torch.tensor(sigma)).numpy()
+
+    j_out = jmodel.apply({"params": params},
+                         {"state_images": jnp.asarray(states)},
+                         jnp.asarray(actions), jnp.asarray(goals),
+                         jnp.asarray(sigma), train=False)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-5, rtol=1e-4)
+
+
+def test_uncond_forward_parity(pair):
+    tmodel, jmodel, params = pair
+    states, actions, goals, sigma = make_inputs(seed=7)
+    with torch.no_grad():
+        t_out = tmodel({"state_images": torch.tensor(states)},
+                       torch.tensor(actions), torch.tensor(goals),
+                       torch.tensor(sigma), uncond=True).numpy()
+    j_out = jmodel.apply({"params": params},
+                         {"state_images": jnp.asarray(states)},
+                         jnp.asarray(actions), jnp.asarray(goals),
+                         jnp.asarray(sigma), train=False, uncond=True)
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-5, rtol=1e-4)
+
+
+def test_aux_losses_match_reference_definitions(pair):
+    """Load-balancing & router z-loss parity in eval-mode routing.
+
+    The torch reference only records aux terms in training mode where routing
+    is stochastic, so compare against manually-computed golden values from the
+    reference formulas (modedit.py:583-593, 930-969) using eval-mode top-k."""
+    tmodel, jmodel, params = pair
+    states, actions, goals, sigma = make_inputs(seed=3)
+    j_out, aux = jmodel.apply({"params": params},
+                              {"state_images": jnp.asarray(states)},
+                              jnp.asarray(actions), jnp.asarray(goals),
+                              jnp.asarray(sigma), train=False, return_aux=True)
+    lb = load_balancing_loss(aux)
+    zl = router_z_loss(aux)
+    assert np.isfinite(float(lb)) and float(lb) > 0
+    assert np.isfinite(float(zl))
+
+    # manual golden recompute for layer 0 from reference formulas
+    a = aux[0]
+    probs = np.asarray(a["probs"])          # [B,T,E] true softmax probs
+    mask = np.asarray(a["router_mask"])     # [B,T,E]
+    rp = probs * mask
+    rp = rp / rp.sum(-1, keepdims=True)
+    E = probs.shape[-1]
+    bt = probs.shape[0] * probs.shape[1]
+    golden = E * np.sum(rp.mean((0, 1)) * (mask.sum((0, 1)) / bt))
+    np.testing.assert_allclose(float(a["load_balancing_term"]), golden, rtol=1e-5)
+
+
+def test_routing_is_sigma_only(pair):
+    """The router must depend only on sigma (cond token), not on tokens —
+    the property that makes per-sigma expert precompute exact
+    (modedit.py:440,331-334)."""
+    tmodel, jmodel, params = pair
+    states, actions, goals, sigma = make_inputs(seed=5)
+    states2 = states + 10.0
+    _, aux1 = jmodel.apply({"params": params},
+                           {"state_images": jnp.asarray(states)},
+                           jnp.asarray(actions), jnp.asarray(goals),
+                           jnp.asarray(sigma), train=False, return_aux=True)
+    _, aux2 = jmodel.apply({"params": params},
+                           {"state_images": jnp.asarray(states2)},
+                           jnp.asarray(actions), jnp.asarray(goals),
+                           jnp.asarray(sigma), train=False, return_aux=True)
+    np.testing.assert_allclose(np.asarray(aux1[0]["probs"]),
+                               np.asarray(aux2[0]["probs"]), atol=1e-6)
+
+
+def test_precomputed_routing_fast_path(pair):
+    """Inference with per-sigma precomputed top-2 overrides must equal the
+    normal eval forward (the sigma-indexed replacement for the reference's
+    fused-expert cache, modedit.py:971-1011)."""
+    tmodel, jmodel, params = pair
+    states, actions, goals, _ = make_inputs(seed=9)
+    B = states.shape[0]
+    sigma_scalar = 1.7
+    sigma = np.full((B,), sigma_scalar, np.float32)
+
+    routing = jmodel.apply({"params": params}, jnp.asarray([sigma_scalar]),
+                           method=MoDeDiT.precompute_routing)
+    overrides = [(idx[0], p[0]) for idx, p in routing]
+
+    out_fast = jmodel.apply({"params": params},
+                            {"state_images": jnp.asarray(states)},
+                            jnp.asarray(actions), jnp.asarray(goals),
+                            jnp.asarray(sigma), train=False,
+                            moe_overrides=overrides)
+    out_ref = jmodel.apply({"params": params},
+                           {"state_images": jnp.asarray(states)},
+                           jnp.asarray(actions), jnp.asarray(goals),
+                           jnp.asarray(sigma), train=False)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_train_mode_runs_with_rngs(pair):
+    tmodel, jmodel, params = pair
+    states, actions, goals, sigma = make_inputs(seed=11)
+    out, aux = jmodel.apply(
+        {"params": params},
+        {"state_images": jnp.asarray(states)}, jnp.asarray(actions),
+        jnp.asarray(goals), jnp.asarray(sigma), train=True, return_aux=True,
+        rngs={"dropout": jax.random.PRNGKey(0),
+              "router": jax.random.PRNGKey(1),
+              "goal_mask": jax.random.PRNGKey(2)})
+    assert out.shape == (3, 10, 7)
+    assert np.all(np.isfinite(np.asarray(out)))
+    counts = np.asarray(aux[0]["expert_counts"])
+    assert counts.sum() == 3 * 14 * 2  # B tokens * top_k
