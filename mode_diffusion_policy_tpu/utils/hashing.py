@@ -1,0 +1,125 @@
+"""pyhash-compatible hash factories with a native C fast path.
+
+The reference depends on the pyhash C++ extension for three determinism
+guarantees (SURVEY.md §2.1): validation-window sizing
+(base_dataset.py:24-37), LIBERO window sizing (libero_dataset.py:32-45) and
+CALVIN evaluation scene seeding (evaluation/utils.py:333-335). This module
+reproduces pyhash's exact call semantics:
+
+- callables constructed per algorithm: ``hasher = fnv1_32(); hasher("5")``
+- default seed 0 (NOT the canonical FNV offset basis — pyhash quirk,
+  Hash.h:123)
+- unicode is hashed as its UTF-16LE encoding *without* BOM (Hash.h:241-291)
+- bytes / buffers hashed raw; multiple args chain the hash value as seed
+
+The native `_pyhashx` C extension (built via setup.py) is preferred; a
+bit-identical pure-Python fallback keeps everything functional without a
+compiler.
+"""
+from __future__ import annotations
+
+from typing import Union
+
+try:
+    from ..native import _pyhashx as _C
+    HAVE_NATIVE = True
+except ImportError:  # pragma: no cover - depends on build
+    _C = None
+    HAVE_NATIVE = False
+
+_MASK32 = 0xFFFFFFFF
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _data(obj: Union[str, bytes, bytearray, memoryview]) -> bytes:
+    if isinstance(obj, str):
+        return obj.encode("utf-16-le")
+    if isinstance(obj, bytes):
+        return obj
+    return bytes(obj)
+
+
+class _PyHasher:
+    """Pure-Python fallback with pyhash call semantics."""
+
+    _is64 = False
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def _hash(self, buf: bytes, value: int) -> int:
+        raise NotImplementedError
+
+    def __call__(self, *args, seed: int | None = None) -> int:
+        value = self.seed if seed is None else seed
+        for arg in args:
+            value = self._hash(_data(arg), value)
+        return value & (_MASK64 if self._is64 else _MASK32)
+
+
+class _Fnv1_32(_PyHasher):
+    def _hash(self, buf, h):
+        for b in buf:
+            h = ((h * 16777619) & _MASK32) ^ b
+        return h
+
+
+class _Fnv1a_32(_PyHasher):
+    def _hash(self, buf, h):
+        for b in buf:
+            h = ((h ^ b) * 16777619) & _MASK32
+        return h
+
+
+class _Fnv1_64(_PyHasher):
+    _is64 = True
+
+    def _hash(self, buf, h):
+        for b in buf:
+            h = ((h * 1099511628211) & _MASK64) ^ b
+        return h
+
+
+class _Fnv1a_64(_PyHasher):
+    _is64 = True
+
+    def _hash(self, buf, h):
+        for b in buf:
+            h = ((h ^ b) * 1099511628211) & _MASK64
+        return h
+
+
+if HAVE_NATIVE:
+    fnv1_32 = _C.fnv1_32
+    fnv1a_32 = _C.fnv1a_32
+    fnv1_64 = _C.fnv1_64
+    fnv1a_64 = _C.fnv1a_64
+    murmur2_32 = _C.murmur2_32
+    murmur2_x64_64a = _C.murmur2_x64_64a
+    murmur3_32 = _C.murmur3_32
+    xx_32 = _C.xx_32
+    xx_64 = _C.xx_64
+    super_fast_hash = _C.super_fast_hash
+    lookup3_little = _C.lookup3_little
+    lookup3 = _C.lookup3_little  # little-endian host (pyhash/__init__.py:30)
+else:  # pragma: no cover
+    fnv1_32 = _Fnv1_32
+    fnv1a_32 = _Fnv1a_32
+    fnv1_64 = _Fnv1_64
+    fnv1a_64 = _Fnv1a_64
+
+# pure-python references always available (used for cross-checking the C ext)
+py_fnv1_32 = _Fnv1_32
+py_fnv1a_32 = _Fnv1a_32
+py_fnv1_64 = _Fnv1_64
+py_fnv1a_64 = _Fnv1a_64
+
+
+def get_validation_window_size(idx: int, min_window_size: int,
+                               max_window_size: int,
+                               hasher=None) -> int:
+    """Deterministic validation window size via FNV-1 32 of str(idx)
+    (reference base_dataset.py:24-37)."""
+    h = hasher or fnv1_32()
+    window_range = max_window_size - min_window_size + 1
+    return min_window_size + h(str(idx)) % window_range

@@ -1,0 +1,97 @@
+"""Hash extension tests: bit-exactness against canonical algorithm vectors,
+pyhash call-semantics (UTF-16LE strings, seed chaining, buffers), and
+C-vs-pure-Python equivalence."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _ensure_built():
+    from mode_diffusion_policy_tpu.utils import hashing
+    if not hashing.HAVE_NATIVE:
+        subprocess.run([sys.executable, "setup.py", "build_ext", "--inplace"],
+                       cwd="/root/repo", capture_output=True, timeout=300)
+        import importlib
+        importlib.reload(hashing)
+    return hashing
+
+
+H = _ensure_built()
+
+
+def test_native_available():
+    assert H.HAVE_NATIVE, "C extension should build in this environment"
+
+
+def test_fnv_canonical_vectors():
+    """Canonical FNV vectors (isthe.com/chongo/tech/comp/fnv) — pyhash's
+    default seed is 0, so pass the offset basis explicitly."""
+    h32 = H.fnv1a_32()
+    assert h32(b"", seed=0x811c9dc5) == 0x811c9dc5
+    assert h32(b"a", seed=0x811c9dc5) == 0xe40c292c
+    assert h32(b"foobar", seed=0x811c9dc5) == 0xbf9cf968
+    h64 = H.fnv1a_64()
+    assert h64(b"foobar", seed=0xcbf29ce484222325) == 0x85944171f73967e8
+    h1_32 = H.fnv1_32()
+    assert h1_32(b"foobar", seed=0x811c9dc5) == 0x31f0b262
+    h1_64 = H.fnv1_64()
+    assert h1_64(b"foobar", seed=0xcbf29ce484222325) == 0x340d8765a4dda9c2
+
+
+def test_xx_and_murmur_vectors():
+    assert H.xx_32()(b"") == 0x02cc5d05
+    assert H.xx_64()(b"") == 0xef46db3751d8e999
+    assert H.murmur3_32()(b"hello") == 0x248bfa47
+    assert H.murmur3_32()(b"") == 0x0
+    assert H.murmur3_32()(b"", seed=1) == 0x514e28b7
+    assert H.murmur3_32()(b"", seed=0xFFFFFFFF) == 0x81f16f39
+    assert H.murmur3_32()(b"test") == 0xba6bd213
+    assert H.murmur3_32()(b"Hello, world!", seed=0x9747b28c) == 0x24884cba
+
+
+def test_string_hashed_as_utf16le():
+    """pyhash hashes unicode as UTF-16LE without BOM (Hash.h:241-291)."""
+    for s in ("5", "hello world", "café", "日本語", "emoji \U0001F600"):
+        assert H.fnv1_32()(s) == H.fnv1_32()(s.encode("utf-16-le")), s
+        assert H.fnv1_64()(s) == H.fnv1_64()(s.encode("utf-16-le")), s
+
+
+def test_seed_chaining():
+    assert H.fnv1_32()("a", "b") == H.fnv1_32()("b", seed=H.fnv1_32()("a"))
+    h = H.fnv1_32(seed=42)
+    assert h.seed == 42
+    assert h("q") == H.fnv1_32()("q", seed=42)
+
+
+def test_buffer_protocol():
+    arr = np.arange(64, dtype=np.uint8)
+    assert H.fnv1a_32()(arr) == H.fnv1a_32()(arr.tobytes())
+
+
+def test_type_error():
+    with pytest.raises(TypeError):
+        H.fnv1_32()(12345)
+
+
+def test_c_matches_pure_python():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n = int(rng.integers(0, 40))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        seed = int(rng.integers(0, 2**32))
+        for c_fac, py_fac in [(H.fnv1_32, H.py_fnv1_32),
+                              (H.fnv1a_32, H.py_fnv1a_32),
+                              (H.fnv1_64, H.py_fnv1_64),
+                              (H.fnv1a_64, H.py_fnv1a_64)]:
+            assert c_fac()(data, seed=seed) == py_fac()(data, seed=seed)
+
+
+def test_validation_window_sizing():
+    """The dataset-facing API: deterministic per-index window sizes
+    (reference base_dataset.py:24-37)."""
+    sizes = [H.get_validation_window_size(i, 10, 20) for i in range(100)]
+    assert all(10 <= s <= 20 for s in sizes)
+    assert sizes == [H.get_validation_window_size(i, 10, 20) for i in range(100)]
+    assert len(set(sizes)) > 3  # actually varies
