@@ -1,0 +1,150 @@
+"""CALVIN data module: datasets -> per-host sharded, prefetched device-ready
+batches.
+
+Replaces the reference HulcDataModule (hulc_data_module.py:23-160) +
+DataLoader workers + DistributedSampler: each host shards the example index
+space (parallel/mesh.process_local_slice), a background thread prefetches
+numpy batches, language instructions are embedded once through the
+LangEmbeddingCache, and images stay uint8 until the on-device transform graph
+(ops/image.py) inside the jitted step.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..parallel.mesh import process_local_slice
+from .calvin_dataset import ExtendedDiskDataset
+from .episode_utils import load_dataset_statistics
+
+logger = logging.getLogger(__name__)
+
+
+def collate_episodes(items: List[Dict],
+                     lang_embed: Optional[Callable] = None) -> Dict[str, Any]:
+    """Stack a list of dataset items into one batch dict with uint8 images.
+    Output keys match MoDEAgent.training_loss expectations."""
+    batch = {
+        "rgb_static": np.stack([it["rgb_obs"]["rgb_static"] for it in items]),
+        "rgb_gripper": np.stack([it["rgb_obs"]["rgb_gripper"] for it in items]),
+        "actions": np.stack([it["actions"] for it in items]).astype(np.float32),
+        "robot_obs": np.stack([it["robot_obs"] for it in items]).astype(np.float32),
+        "idx": np.asarray([it["idx"] for it in items], np.int64),
+    }
+    texts = [str(it.get("lang_text", "")) for it in items]
+    batch["lang_text"] = texts
+    if lang_embed is not None:
+        batch["lang_emb"] = np.asarray(lang_embed(texts), np.float32)
+    elif "lang" in items[0]:
+        batch["lang_emb"] = np.stack(
+            [np.asarray(it["lang"], np.float32).reshape(1, -1)
+             for it in items])
+    return batch
+
+
+class _Prefetcher:
+    """Background-thread batch prefetch (the host-side stand-in for the
+    reference's 12 DataLoader worker processes)."""
+
+    def __init__(self, gen_fn, depth: int = 2):
+        self._gen_fn = gen_fn
+        self._depth = depth
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        DONE = object()
+
+        def worker():
+            try:
+                for item in self._gen_fn():
+                    q.put(item)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            yield item
+
+
+class CalvinDataModule:
+    """Builds train/val ExtendedDiskDatasets and batch iterators
+    (reference HulcDataModule.setup/train_dataloader,
+    hulc_data_module.py:77-160)."""
+
+    def __init__(self, root_data_dir: str, *, batch_size: int = 32,
+                 act_seq_len: int = 10, obs_seq_len: int = 1,
+                 lang_folder: str = "lang_annotations",
+                 use_extracted_rel_actions: bool = False,
+                 lang_embed: Optional[Callable] = None,
+                 shuffle_val: bool = False, seed: int = 42,
+                 transforms: Optional[Dict] = None,
+                 dataset_cls=ExtendedDiskDataset,
+                 dataset_kwargs: Optional[Dict] = None):
+        self.root = Path(root_data_dir)
+        self.training_dir = self.root / "training"
+        self.val_dir = self.root / "validation"
+        self.batch_size = batch_size
+        self.act_seq_len = act_seq_len
+        self.obs_seq_len = obs_seq_len
+        self.lang_folder = lang_folder
+        self.use_extracted_rel_actions = use_extracted_rel_actions
+        self.lang_embed = lang_embed
+        self.shuffle_val = shuffle_val
+        self.seed = seed
+        self.dataset_cls = dataset_cls
+        self.dataset_kwargs = dataset_kwargs or {}
+        self.transforms = transforms or {"train": {}, "val": {}}
+        self.train_dataset = None
+        self.val_dataset = None
+
+    def setup(self):
+        self.transforms = load_dataset_statistics(
+            self.training_dir, self.val_dir, self.transforms)
+        common = dict(
+            key="lang", lang_folder=self.lang_folder,
+            batch_size=self.batch_size,
+            min_window_size=self.act_seq_len,
+            max_window_size=self.act_seq_len, pad=False,
+            aux_lang_loss_window=8,
+            obs_seq_len=self.obs_seq_len, action_seq_len=self.act_seq_len,
+            future_range=1,
+            use_extracted_rel_actions=self.use_extracted_rel_actions,
+            **self.dataset_kwargs)
+        self.train_dataset = self.dataset_cls(self.training_dir, **common)
+        self.val_dataset = self.dataset_cls(self.val_dir, **common)
+        logger.info("train examples: %d, val examples: %d",
+                    len(self.train_dataset), len(self.val_dataset))
+        return self
+
+    def _iter_batches(self, dataset, shuffle: bool, epoch_seed: int,
+                      drop_last: bool = True) -> Iterator[Dict]:
+        n = len(dataset)
+        start, end = process_local_slice(n)
+        indices = np.arange(start, end)
+        if shuffle:
+            np.random.default_rng(self.seed + epoch_seed).shuffle(indices)
+        bs = self.batch_size
+        for i in range(0, len(indices) - (bs - 1 if drop_last else 0), bs):
+            chunk = indices[i:i + bs]
+            if drop_last and len(chunk) < bs:
+                return
+            items = [dataset[int(j)] for j in chunk]
+            yield collate_episodes(items, self.lang_embed)
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict]:
+        return iter(_Prefetcher(
+            lambda: self._iter_batches(self.train_dataset, True, epoch)))
+
+    def val_batches(self, epoch: int = 0) -> Iterator[Dict]:
+        return iter(_Prefetcher(
+            lambda: self._iter_batches(self.val_dataset, self.shuffle_val,
+                                       epoch)))

@@ -1,0 +1,345 @@
+"""MoDEAgent — the training/inference facade, as pure functions over one
+variables pytree.
+
+Re-design of the reference LightningModule
+(/root/reference/mode/models/mode_agent.py:41-873). No Lightning: the agent
+owns the model definitions and exposes pure jit-able functions
+(``training_loss``, ``validation_denoise``, ``denoise_actions``) plus a small
+host-side rollout wrapper (``RolloutPolicy``) for chunked env stepping
+(mode_agent.py:612-637).
+
+Inference fast path: ``denoise_actions(..., use_routing_precompute=True)``
+precomputes the per-sigma top-2 expert routing once (sigma-indexed arrays,
+replacing the reference's float-keyed fused-expert cache,
+mode_agent.py:639-644 / modedit.py:971-1011) and the sampler's scheduled
+steps gather just those two experts' weights.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .modedit import (MoDeDiT, MoDeDiTConfig, load_balancing_loss,
+                      router_z_loss)
+from .encoders.resnet import FiLMResNetPolicy, ResNetEncoderWithFiLM
+from .edm.precond import denoiser_forward, denoiser_loss
+from .edm.schedules import get_noise_schedule
+from .edm.densities import make_sample_density
+from .edm.samplers import sample_loop
+
+
+@dataclasses.dataclass(frozen=True)
+class MoDEAgentConfig:
+    """Mirrors conf/model/mode_agent.yaml:1-84 of the reference."""
+
+    latent_dim: int = 1024
+    multistep: int = 10
+    sampler_type: str = "ddim"
+    num_sampling_steps: int = 10
+    sigma_data: float = 0.5
+    sigma_min: float = 0.001
+    sigma_max: float = 80.0
+    noise_scheduler: str = "exponential"
+    sigma_sample_density_type: str = "loglogistic"
+    cond_dim: int = 512
+    resnet_type: str = "50"
+    act_window_size: int = 10
+    action_dim: int = 7
+    obs_seq_len: int = 1
+    goal_seq_len: int = 1
+    entropy_gamma: float = 0.0
+    router_z_delta: float = 0.001
+    use_proprio: bool = False
+    n_layers: int = 12
+    n_heads: int = 8
+    num_experts: int = 4
+    top_k: int = 2
+    seed: int = 42
+    dtype: Any = jnp.float32
+
+    @property
+    def obs_dim(self) -> int:
+        # mode_agent.py:76
+        return 2048 if self.resnet_type == "50" else 512
+
+    def dit_config(self) -> MoDeDiTConfig:
+        return MoDeDiTConfig(
+            obs_dim=self.obs_dim, goal_dim=self.cond_dim,
+            action_dim=self.action_dim, embed_dim=self.latent_dim,
+            n_layers=self.n_layers, n_heads=self.n_heads,
+            goal_seq_len=self.goal_seq_len, obs_seq_len=self.obs_seq_len,
+            action_seq_len=self.act_window_size,
+            use_proprio=self.use_proprio, num_experts=self.num_experts,
+            top_k=self.top_k, dtype=self.dtype)
+
+
+class MoDEAgent:
+    """Owns module definitions + pure compute functions. All state lives in
+    the caller-held ``variables`` pytree."""
+
+    def __init__(self, cfg: MoDEAgentConfig):
+        self.cfg = cfg
+        self.dit = MoDeDiT(cfg.dit_config())
+        if cfg.resnet_type in ("34", "50"):
+            depth = int(cfg.resnet_type)
+            self.static_resnet = FiLMResNetPolicy(cfg.cond_dim, depth=depth,
+                                                  dtype=cfg.dtype)
+            self.gripper_resnet = FiLMResNetPolicy(cfg.cond_dim, depth=depth,
+                                                   dtype=cfg.dtype)
+        else:
+            self.static_resnet = ResNetEncoderWithFiLM(cfg.cond_dim,
+                                                       latent_dim=512,
+                                                       dtype=cfg.dtype)
+            self.gripper_resnet = ResNetEncoderWithFiLM(cfg.cond_dim,
+                                                        latent_dim=512,
+                                                        dtype=cfg.dtype)
+        self.sigmas = get_noise_schedule(
+            cfg.num_sampling_steps, cfg.noise_scheduler, cfg.sigma_min,
+            cfg.sigma_max)
+        self.sample_density = make_sample_density(
+            cfg.sigma_sample_density_type, sigma_data=cfg.sigma_data,
+            sigma_min=cfg.sigma_min, sigma_max=cfg.sigma_max,
+            num_sampling_steps=cfg.num_sampling_steps)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_variables(self, key, image_hw: Tuple[int, int] = (224, 224)):
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        B = 1
+        h, w = image_hw
+        dummy_states = {"state_images": jnp.zeros((B, 2, cfg.obs_dim))}
+        dummy_actions = jnp.zeros((B, cfg.act_window_size, cfg.action_dim))
+        dummy_goal = jnp.zeros((B, 1, cfg.cond_dim))
+        dummy_sigma = jnp.ones((B,))
+        dit_vars = self.dit.init({"params": k1}, dummy_states, dummy_actions,
+                                 dummy_goal, dummy_sigma)
+        img = jnp.zeros((B, h, w, 3))
+        cond = jnp.zeros((B, cfg.cond_dim))
+        sr = self.static_resnet.init({"params": k2}, img, cond, train=False)
+        gr = self.gripper_resnet.init({"params": k3}, img, cond, train=False)
+        return {
+            "params": {
+                "inner_model": dit_vars["params"],
+                "static_resnet": sr["params"],
+                "gripper_resnet": gr["params"],
+            },
+            "batch_stats": {
+                "static_resnet": sr.get("batch_stats", {}),
+                "gripper_resnet": gr.get("batch_stats", {}),
+            },
+        }
+
+    # ------------------------------------------------------------------
+    # embeddings (mode_agent.py:525-567)
+    # ------------------------------------------------------------------
+    def embed_visual_obs(self, variables, rgb_static, rgb_gripper, latent_goal,
+                         *, train: bool = False):
+        """rgb_*: [B, T, H, W, 3] NHWC; latent_goal [B, 1, cond] or [B, cond].
+        Returns perceptual_emb {'state_images': [B, 2T, obs_dim]} and, in
+        train mode, the batch_stats updates."""
+        B, T = rgb_static.shape[:2]
+        cond = latent_goal[:, 0] if latent_goal.ndim == 3 else latent_goal
+        cond_rep = jnp.repeat(cond, T, axis=0) if T > 1 else cond
+
+        def run(mod, name, imgs):
+            v = {"params": variables["params"][name],
+                 "batch_stats": variables["batch_stats"][name]}
+            x = imgs.reshape((B * T,) + imgs.shape[2:])
+            if train:
+                out, upd = mod.apply(v, x, cond_rep, train=True,
+                                     mutable=["batch_stats"])
+                return out.reshape(B, T, -1), upd["batch_stats"]
+            return mod.apply(v, x, cond_rep, train=False).reshape(B, T, -1), None
+
+        st, st_upd = run(self.static_resnet, "static_resnet", rgb_static)
+        gr, gr_upd = run(self.gripper_resnet, "gripper_resnet", rgb_gripper)
+        token_seq = jnp.concatenate([st, gr], axis=1)
+        perceptual_emb = {"state_images": token_seq}
+        updates = None
+        if train:
+            updates = {"static_resnet": st_upd, "gripper_resnet": gr_upd}
+        return perceptual_emb, updates
+
+    # ------------------------------------------------------------------
+    # losses (mode_agent.py:386-440, 659-672)
+    # ------------------------------------------------------------------
+    def training_loss(self, variables, batch: Dict[str, Any], rng):
+        """batch: {'rgb_static': [B,T,H,W,3], 'rgb_gripper': ..., 'actions':
+        [B,W,7], 'lang_emb': [B,1,cond]}. Returns (total_loss, (metrics,
+        batch_stats_updates))."""
+        cfg = self.cfg
+        k_sigma, k_noise, k_drop, k_router, k_goal = jax.random.split(rng, 5)
+        latent_goal = batch["lang_emb"].astype(jnp.float32)
+        perceptual_emb, bs_updates = self.embed_visual_obs(
+            variables, batch["rgb_static"], batch["rgb_gripper"], latent_goal,
+            train=True)
+
+        actions = batch["actions"].astype(jnp.float32)
+        sigmas = self.sample_density(k_sigma, (actions.shape[0],))
+        noise = jax.random.normal(k_noise, actions.shape)
+
+        aux_out = {}
+
+        def inner_apply(states, scaled_actions, goal, sigma, **kw):
+            pred, aux = self.dit.apply(
+                {"params": variables["params"]["inner_model"]},
+                states, scaled_actions, goal, sigma, train=True,
+                return_aux=True,
+                rngs={"dropout": k_drop, "router": k_router,
+                      "goal_mask": k_goal})
+            aux_out["layers"] = aux
+            return pred
+
+        act_loss, _ = denoiser_loss(inner_apply, perceptual_emb, actions,
+                                    latent_goal, noise, sigmas,
+                                    sigma_data=cfg.sigma_data)
+        total = act_loss
+        metrics = {"train/action_loss": act_loss}
+        aux_layers = aux_out["layers"]
+        if cfg.entropy_gamma > 0:
+            lb = load_balancing_loss(aux_layers)
+            total = total + cfg.entropy_gamma * lb
+            metrics["train/load_balancing_loss"] = lb
+        if cfg.router_z_delta > 0:
+            zl = router_z_loss(aux_layers)
+            total = total + cfg.router_z_delta * zl
+            metrics["train/router_z_delta"] = zl
+        metrics["train/total_loss"] = total
+        # expert usage telemetry (mode_agent.py:466-511): [L, E] counts
+        metrics["expert_counts"] = jnp.stack(
+            [a["expert_counts"] for a in aux_layers])
+        return total, (metrics, bs_updates)
+
+    def validation_denoise(self, variables, batch: Dict[str, Any], rng):
+        """10-step denoise + MSE (mode_agent.py:442-464)."""
+        latent_goal = batch["lang_emb"].astype(jnp.float32)
+        perceptual_emb, _ = self.embed_visual_obs(
+            variables, batch["rgb_static"], batch["rgb_gripper"], latent_goal,
+            train=False)
+        pred = self.denoise_actions(variables, perceptual_emb, latent_goal,
+                                    rng)
+        mse = jnp.mean((pred - batch["actions"].astype(jnp.float32)) ** 2)
+        return pred, {"val_act/lang_act_loss_pp": mse}
+
+    # ------------------------------------------------------------------
+    # sampling (mode_agent.py:733-840)
+    # ------------------------------------------------------------------
+    def precompute_routing(self, variables, sigmas: Optional[np.ndarray] = None):
+        """Per-sigma top-2 routing for every layer; sigma-indexed arrays
+        (mode_agent.py:639-644). Uses the *scheduled* sigmas (the trailing 0
+        is excluded)."""
+        if sigmas is None:
+            sigmas = self.sigmas[:-1]
+        return self.dit.apply(
+            {"params": variables["params"]["inner_model"]},
+            jnp.asarray(sigmas), method=MoDeDiT.precompute_routing)
+
+    def make_denoiser(self, variables, perceptual_emb, latent_goal,
+                      routing=None) -> Callable:
+        """Returns denoiser(x, sigma_vec, step_idx) for the samplers. With
+        ``routing``, scheduled steps (step_idx >= 0, traced) gather the
+        precomputed top-2 experts; off-schedule midpoint evals (literal -1)
+        route inline."""
+        cfg = self.cfg
+
+        def denoiser(x, sigma, step_idx):
+            overrides = None
+            use_fast = routing is not None and not (
+                isinstance(step_idx, int) and step_idx < 0)
+            if use_fast:
+                overrides = [(jnp.take(idx, step_idx, axis=0),
+                              jnp.take(p, step_idx, axis=0))
+                             for idx, p in routing]
+
+            def inner_apply(states, scaled_actions, goal, sigma, **kw):
+                return self.dit.apply(
+                    {"params": variables["params"]["inner_model"]},
+                    states, scaled_actions, goal, sigma, train=False,
+                    moe_overrides=overrides)
+
+            return denoiser_forward(inner_apply, perceptual_emb, x,
+                                    latent_goal, sigma,
+                                    sigma_data=cfg.sigma_data)
+
+        return denoiser
+
+    def denoise_actions(self, variables, perceptual_emb, latent_goal, rng, *,
+                        inference: bool = False,
+                        use_routing_precompute: bool = False,
+                        extra_args: Optional[dict] = None):
+        """Sample an action chunk (mode_agent.py:733-760). rng drives both the
+        initial noise and any stochastic sampler steps."""
+        cfg = self.cfg
+        sigmas = self.sigmas if inference else get_noise_schedule(
+            10, cfg.noise_scheduler, cfg.sigma_min, cfg.sigma_max)
+        B = latent_goal.shape[0]
+        k_init, k_samp = jax.random.split(rng)
+        x = jax.random.normal(
+            k_init, (B, cfg.act_window_size, cfg.action_dim)) * cfg.sigma_max
+        routing = None
+        if use_routing_precompute:
+            routing = self.precompute_routing(variables, sigmas[:-1])
+        denoiser = self.make_denoiser(variables, perceptual_emb, latent_goal,
+                                      routing)
+        return sample_loop(cfg.sampler_type, denoiser, x, sigmas, k_samp,
+                           extra_args)
+
+
+class RolloutPolicy:
+    """Host-side chunked-inference wrapper around a jitted policy step
+    (reference MoDEAgent.step/reset, mode_agent.py:577-637).
+
+    ``step(obs, goal)`` returns one action per call; the underlying model
+    runs once every ``multistep`` calls and produces an action chunk.
+    """
+
+    def __init__(self, agent: MoDEAgent, variables, lang_encoder,
+                 use_routing_precompute: bool = True, seed: int = 0):
+        self.agent = agent
+        self.variables = variables
+        self.lang = lang_encoder  # callable: list[str] -> [B,1,D]
+        self.multistep = agent.cfg.multistep
+        self._key = jax.random.PRNGKey(seed)
+        self._counter = 0
+        self._chunk = None
+        self._use_fast = use_routing_precompute
+
+        def _policy(variables, rgb_static, rgb_gripper, lang_emb, key):
+            emb, _ = agent.embed_visual_obs(variables, rgb_static, rgb_gripper,
+                                            lang_emb, train=False)
+            return agent.denoise_actions(
+                variables, emb, lang_emb, key, inference=True,
+                use_routing_precompute=use_routing_precompute)
+
+        self._policy = jax.jit(_policy)
+
+    def reset(self):
+        self._counter = 0
+        self._chunk = None
+
+    def step(self, obs: Dict[str, Any], goal: Dict[str, Any]) -> np.ndarray:
+        if self._counter % self.multistep == 0:
+            if "lang_text" in goal:
+                lang_emb = jnp.asarray(self.lang([goal["lang_text"]] if
+                                                 isinstance(goal["lang_text"], str)
+                                                 else goal["lang_text"]))
+            else:
+                lang_emb = jnp.asarray(goal["lang_emb"])
+            self._key, sub = jax.random.split(self._key)
+            chunk = self._policy(self.variables,
+                                 jnp.asarray(obs["rgb_static"]),
+                                 jnp.asarray(obs["rgb_gripper"]),
+                                 lang_emb, sub)
+            self._chunk = np.asarray(chunk)
+            self._counter = 0
+        action = self._chunk[:, self._counter]
+        self._counter += 1
+        if self._counter == self.multistep:
+            self._counter = 0
+        return action

@@ -1,0 +1,41 @@
+"""Functional train state: params + EMA + optimizer + BN stats in one pytree
+(replaces the reference's LightningModule attributes + EMA-callback state,
+mode_agent.py / callbacks/ema.py:144-153)."""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, variables, optimizer, rng):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(params),
+            ema_params=jax.tree.map(lambda x: x, params),
+            rng=rng,
+        )
+
+    def eval_variables(self, use_ema: bool = True):
+        """Variables for validation/rollout — EMA weights by default
+        (conf/callbacks/calvin.yaml: evaluate_ema_weights_instead)."""
+        return {"params": self.ema_params if use_ema else self.params,
+                "batch_stats": self.batch_stats}
+
+    def train_variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}

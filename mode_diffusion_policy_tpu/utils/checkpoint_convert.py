@@ -163,3 +163,79 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     data = torch.load(path, map_location="cpu", weights_only=False)
     sd = data.get("state_dict", data) if isinstance(data, dict) else data
     return {k: _np(v) for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# FiLM-ResNet encoders
+# ---------------------------------------------------------------------------
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convert_bn(sd, src, params_path, stats_path, params, stats):
+    _set(params, params_path + ("scale",), sd[f"{src}.weight"])
+    _set(params, params_path + ("bias",), sd[f"{src}.bias"])
+    _set(stats, stats_path + ("mean",), sd[f"{src}.running_mean"])
+    _set(stats, stats_path + ("var",), sd[f"{src}.running_var"])
+
+
+def convert_film_resnet(state_dict: Mapping[str, Any], depth: int,
+                        prefix: str = "", style: str = "policy"):
+    """Convert reference FiLM-ResNet weights to this framework's layout.
+
+    style='policy': FiLMResNet{18,34,50}Policy (pretrained_resnets.py) —
+      timm backbone under ``{prefix}resnet.`` + ``{prefix}film{1..4}``.
+    style='scratch': ResNetEncoderWithFiLM (resnets.py) — backbone modules at
+      ``{prefix}`` top level + ``{prefix}film_module{1..4}.modulation.1`` + fc.
+
+    Returns {'params': ..., 'batch_stats': ...}.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    stage_sizes = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[depth]
+    bottleneck = depth == 50
+    bb = f"{prefix}resnet." if style == "policy" else prefix
+
+    params.setdefault("resnet", {})
+    stats.setdefault("resnet", {})
+    _set(params, ("resnet", "conv1", "kernel"), _conv_w(sd[f"{bb}conv1.weight"]))
+    _convert_bn(sd, f"{bb}bn1", ("resnet", "bn1"), ("resnet", "bn1"), params, stats)
+
+    n_convs = 3 if bottleneck else 2
+    for s, n_blocks in enumerate(stage_sizes):
+        for b in range(n_blocks):
+            src = f"{bb}layer{s + 1}.{b}."
+            dst = ("resnet", f"layer{s + 1}_{b}")
+            for c in range(1, n_convs + 1):
+                _set(params, dst + (f"conv{c}", "kernel"),
+                     _conv_w(sd[src + f"conv{c}.weight"]))
+                _convert_bn(sd, src + f"bn{c}", dst + (f"bn{c}",),
+                            dst + (f"bn{c}",), params, stats)
+            if src + "downsample.0.weight" in sd:
+                _set(params, dst + ("downsample_conv", "kernel"),
+                     _conv_w(sd[src + "downsample.0.weight"]))
+                _convert_bn(sd, src + "downsample.1",
+                            dst + ("downsample_bn",), dst + ("downsample_bn",),
+                            params, stats)
+
+    if style == "policy":
+        for s in range(1, 5):
+            for part in ("gamma", "beta"):
+                _set(params, (f"film{s}_{part}", "kernel"),
+                     sd[f"{prefix}film{s}.{part}.weight"].T)
+                _set(params, (f"film{s}_{part}", "bias"),
+                     sd[f"{prefix}film{s}.{part}.bias"])
+    else:
+        for s in range(1, 5):
+            _set(params, (f"film_module{s}", "fc", "kernel"),
+                 sd[f"{prefix}film_module{s}.modulation.1.weight"].T)
+            _set(params, (f"film_module{s}", "fc", "bias"),
+                 sd[f"{prefix}film_module{s}.modulation.1.bias"])
+        if f"{prefix}fc.weight" in sd:
+            _set(params, ("fc", "kernel"), sd[f"{prefix}fc.weight"].T)
+            _set(params, ("fc", "bias"), sd[f"{prefix}fc.bias"])
+
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,177 @@
+"""Training stack tests: tri-stage schedule parity vs the reference
+implementation, EMA semantics, masked weight decay, ADOPT, and a full
+mesh-parallel train step on the 8-virtual-device CPU mesh (loss decreasing)."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mode_diffusion_policy_tpu.models.agent import MoDEAgent, MoDEAgentConfig
+from mode_diffusion_policy_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                     replicated, shard_batch)
+from mode_diffusion_policy_tpu.training.loop import (make_train_step,
+                                                     grad_telemetry)
+from mode_diffusion_policy_tpu.training.optim import (adopt,
+                                                      ema_decay_schedule,
+                                                      ema_update,
+                                                      make_optimizer,
+                                                      tri_stage_schedule)
+from mode_diffusion_policy_tpu.training.state import TrainState
+
+
+def test_tri_stage_matches_reference():
+    """Step-exact vs the reference TriStageLRScheduler driven with a stub
+    optimizer."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import pathlib
+
+    # stub omegaconf for the reference module
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.DictConfig = dict
+        sys.modules["omegaconf"] = oc
+    ref_dir = pathlib.Path("/root/reference/mode/utils/lr_schedulers")
+    spec = importlib.util.spec_from_file_location(
+        "ref_lrs", ref_dir / "lr_scheduler.py")
+    lrs = importlib.util.module_from_spec(spec)
+    sys.modules["ref_lrs"] = lrs
+    spec.loader.exec_module(lrs)
+    src = (ref_dir / "tri_stage_scheduler.py").read_text()
+    src = src.replace("from .lr_scheduler import LearningRateScheduler",
+                      "from ref_lrs import LearningRateScheduler")
+    src = src.replace(
+        "from . import register_scheduler, LearningRateSchedulerConfigs",
+        "register_scheduler = lambda *a, **k: (lambda cls: cls)\n"
+        "class LearningRateSchedulerConfigs: pass")
+    mod = types.ModuleType("ref_tri")
+    mod.__dict__["__file__"] = str(ref_dir / "tri_stage_scheduler.py")
+    exec(compile(src, "tri_stage_scheduler.py", "exec"), mod.__dict__)
+
+    class Cfg:
+        pass
+
+    cfg = Cfg()
+    cfg.lr_scheduler = Cfg()
+    cfg.lr_scheduler.init_lr = 1e-4
+    cfg.lr_scheduler.init_lr_scale = 0.1
+    cfg.lr_scheduler.final_lr_scale = 1e-6
+    cfg.lr_scheduler.total_steps = 1000
+    cfg.lr_scheduler.phase_ratio = "(0.02, 0.08, 0.9)"
+    cfg.lr_scheduler.lr = 1e-4
+
+    param = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([param], lr=1e-4)
+    ref_sched = mod.TriStageLRScheduler(opt, cfg)
+
+    sched = tri_stage_schedule(1e-4, 1000, (0.02, 0.08, 0.9), 0.1, 1e-6)
+    ours = [float(sched(i)) for i in range(1100)]
+    # step() computes lr at the current update_step then self-increments
+    theirs = [ref_sched.step() for _ in range(1100)]
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-11)
+
+
+def test_ema_decay_schedule():
+    # reference ema.py:84-91 with conf/callbacks/calvin.yaml values
+    d0 = float(ema_decay_schedule(jnp.asarray(0)))
+    assert d0 == 0.0
+    d10 = float(ema_decay_schedule(jnp.asarray(10)))
+    assert abs(d10 - (1 - (1 + 9) ** (-2 / 3))) < 1e-6
+    d_huge = float(ema_decay_schedule(jnp.asarray(10**9)))
+    assert d_huge == pytest.approx(0.9999)
+
+
+def test_ema_update_moves_toward_params():
+    ema = {"w": jnp.zeros(3)}
+    new = {"w": jnp.ones(3)}
+    out = ema_update(ema, new, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1 * np.ones(3),
+                               rtol=1e-6)
+
+
+def test_weight_decay_mask():
+    params = {
+        "inner_model": {"blocks_0": {"attn": {"wqkv": {"kernel": jnp.ones((2, 2)),
+                                                       "bias": jnp.ones(2)}}},
+                        "ln": {"g": jnp.ones(2)}},
+        "static_resnet": {"conv": {"kernel": jnp.ones((1, 1))}},
+    }
+    from mode_diffusion_policy_tpu.training.optim import _decay_mask
+    mask = _decay_mask(params)
+    assert mask["inner_model"]["blocks_0"]["attn"]["wqkv"]["kernel"] is True
+    assert mask["inner_model"]["blocks_0"]["attn"]["wqkv"]["bias"] is False
+    assert mask["inner_model"]["ln"]["g"] is True  # reference quirk preserved
+    assert mask["static_resnet"]["conv"]["kernel"] is True
+
+
+def test_adopt_runs():
+    import optax
+    opt = optax.chain(adopt(), optax.scale(-0.01))
+    params = {"w": jnp.ones(4)}
+    opt_state = opt.init(params)
+    for i in range(3):
+        grads = {"w": jnp.full(4, 0.5)}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = MoDEAgentConfig(latent_dim=32, n_layers=2, n_heads=2, cond_dim=8,
+                          resnet_type="18", router_z_delta=0.001)
+    agent = MoDEAgent(cfg)
+    variables = agent.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    return cfg, agent, variables
+
+
+def make_batch(cfg, B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "rgb_static": rng.standard_normal((B, 1, 32, 32, 3)).astype(np.float32),
+        "rgb_gripper": rng.standard_normal((B, 1, 32, 32, 3)).astype(np.float32),
+        "actions": rng.standard_normal((B, 10, 7)).astype(np.float32) * 0.1,
+        "lang_emb": rng.standard_normal((B, 1, cfg.cond_dim)).astype(np.float32),
+    }
+
+
+def test_mesh_train_step_8dev(tiny_setup):
+    """Full train step jitted over the 8-virtual-device CPU mesh; sharded
+    batch, replicated params, loss decreases over steps."""
+    cfg, agent, variables = tiny_setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    optimizer, _ = make_optimizer(variables["params"], learning_rate=1e-3,
+                                  use_lr_scheduler=False)
+    state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1))
+    step_fn = make_train_step(agent, optimizer)
+    rep = replicated(mesh)
+    train_step = jax.jit(step_fn, out_shardings=(rep, rep))
+
+    state = jax.device_put(state, rep)
+    losses = []
+    for i in range(8):
+        batch = shard_batch(mesh, make_batch(cfg, B=8, seed=0))  # same batch
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["train/total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert float(metrics["debug/total_grad_norm"]) > 0
+    # EMA params differ from raw params after updates
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, state.ema_params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_batch_actually_sharded(tiny_setup):
+    cfg, agent, variables = tiny_setup
+    mesh = make_mesh()
+    batch = shard_batch(mesh, make_batch(cfg, B=8))
+    shard_counts = {len(v.sharding.device_set)
+                    for v in jax.tree.leaves(batch)}
+    assert shard_counts == {8}
