@@ -1,0 +1,105 @@
+"""Benchmark: end-to-end batched 10-step action-chunk inference on one chip.
+
+Measures the BASELINE.json north-star pipeline: raw uint8 camera frames ->
+on-device resize/normalize -> 2x FiLM-ResNet-50 -> 10-step DDIM denoise of
+the 307M-active-class MoDE (12 layers, 1024 embed, 4 experts top-2) with
+per-sigma routing precompute, all inside one jit, batch 128, bfloat16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": chunks/s/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against the north-star target of >=5k chunks/s on a
+v5e-8, i.e. 625 chunks/s/chip.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.makedirs(os.path.expanduser("~/.cache/jax_mode_tpu"), exist_ok=True)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_mode_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.ops.image import preprocess_camera
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    IMG = int(os.environ.get("BENCH_IMG", "224"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+
+    log(f"devices: {jax.devices()}")
+    cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
+                          cond_dim=512, resnet_type="50", num_experts=4,
+                          top_k=2, dtype=jnp.bfloat16)
+    agent = MoDEAgent(cfg)
+    t0 = time.time()
+    variables = agent.init_variables(jax.random.PRNGKey(0),
+                                     image_hw=(IMG, IMG))
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    log(f"init: {n_params/1e6:.0f}M params in {time.time()-t0:.1f}s")
+
+    def chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
+        rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
+        rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
+        emb, _ = agent.embed_visual_obs(variables, rs, rg, lang_emb,
+                                        train=False)
+        return agent.denoise_actions(variables, emb, lang_emb, key,
+                                     inference=True,
+                                     use_routing_precompute=True)
+
+    fn = jax.jit(chunk_fn)
+
+    rng = np.random.default_rng(0)
+    rgb_static = jnp.asarray(
+        rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    rgb_gripper = jnp.asarray(
+        rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    lang_emb = jnp.asarray(
+        rng.standard_normal((B, 1, cfg.cond_dim)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    out = jax.block_until_ready(fn(variables, rgb_static, rgb_gripper,
+                                   lang_emb, key))
+    log(f"compile+first run: {time.time()-t0:.1f}s; out {out.shape}, "
+        f"finite={bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))}")
+
+    # timed
+    t0 = time.time()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        out = fn(variables, rgb_static, rgb_gripper, lang_emb, sub)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    chunks_per_s = B * ITERS / dt
+    log(f"{ITERS} iters in {dt:.2f}s -> {chunks_per_s:.1f} chunks/s/chip "
+        f"({dt/ITERS*1000:.1f} ms / batch of {B})")
+
+    baseline = 625.0  # north star: 5k chunks/s on v5e-8 => 625 per chip
+    print(json.dumps({
+        "metric": "10-step action-chunks/sec/chip (307M-active MoDE, b=128, "
+                  "e2e uint8->preprocess->2xResNet50->DDIM)",
+        "value": round(chunks_per_s, 2),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(chunks_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

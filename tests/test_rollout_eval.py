@@ -1,0 +1,196 @@
+"""Rollout & evaluation: chain-generator parity vs the reference, scene-reset
+determinism, count_success accounting, fake-env long-horizon evaluation end
+to end with a tiny agent, and the evaluate CLI."""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from mode_diffusion_policy_tpu.evaluation.utils import (
+    count_success, get_env_state_for_initial_condition, print_and_save,
+    temp_seed)
+from mode_diffusion_policy_tpu.rollout import multistep_sequences as ms
+from mode_diffusion_policy_tpu.rollout.env import (CalvinEnvWrapper,
+                                                   FakeCalvinEnv)
+from mode_diffusion_policy_tpu.rollout.rollout_long_horizon import (
+    LongHorizonEvaluator)
+from mode_diffusion_policy_tpu.rollout.video import RolloutVideo
+from mode_diffusion_policy_tpu.data.calvin_dataset import (DEFAULT_OBS_SPACE,
+                                                           DEFAULT_PROPRIO)
+
+
+def load_reference_ms():
+    import contextlib
+
+    @contextlib.contextmanager
+    def _temp_seed(seed):
+        state = np.random.get_state()
+        np.random.seed(seed)
+        try:
+            yield
+        finally:
+            np.random.set_state(state)
+
+    for name in ("mode", "mode.evaluation"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    u = types.ModuleType("mode.evaluation.utils")
+    u.temp_seed = _temp_seed
+    sys.modules["mode.evaluation.utils"] = u
+    spec = importlib.util.spec_from_file_location(
+        "ref_ms", "/root/reference/mode/evaluation/multistep_sequences.py")
+    ref = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ms"] = ref
+    spec.loader.exec_module(ref)
+    return ref
+
+
+def test_task_tables_match_reference():
+    ref = load_reference_ms()
+    assert list(ref.tasks.keys()) == list(ms.tasks.keys())
+    assert ref.tasks == ms.tasks
+    assert ref.task_categories == ms.task_categories
+
+
+def test_chains_bit_exact_vs_reference():
+    ref = load_reference_ms()
+    r = ref.get_sequences(100, num_workers=1)
+    o = ms.get_sequences(100)
+    assert len(r) == len(o) == 100
+    for (rs, rseq), (os_, oseq) in zip(r, o):
+        assert rs == os_
+        assert tuple(rseq) == tuple(oseq)
+
+
+def test_chain_properties():
+    seqs = ms.get_sequences(50)
+    for state, seq in seqs:
+        assert len(seq) == 5
+        assert ms.check_sequence(state, seq)
+        cats = [ms.task_categories[t] for t in seq]
+        assert len(set(cats)) == 5
+
+
+def test_scene_reset_deterministic():
+    state = {"led": 0, "lightbulb": 1, "slider": "left", "drawer": "open",
+             "red_block": "table", "blue_block": "slider_right",
+             "pink_block": "table", "grasped": 0}
+    r1, s1 = get_env_state_for_initial_condition(state)
+    r2, s2 = get_env_state_for_initial_condition(state)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(r1, r2)
+    assert s1[0] == 0.28 and s1[1] == 0.22 and s1[3] == 0.088
+    assert s1[4] == 1 and s1[5] == 0
+    # different condition -> different block rotations (hash-seeded)
+    state2 = dict(state, led=1)
+    _, s3 = get_env_state_for_initial_condition(state2)
+    assert s3[11] != s1[11]
+
+
+def test_count_success():
+    # chains solved: 5,3,0,1,5 -> SR_1 = 4/5, SR_5 = 2/5
+    results = [5, 3, 0, 1, 5]
+    sr = count_success(results)
+    assert sr[0] == pytest.approx(4 / 5)
+    assert sr[2] == pytest.approx(3 / 5)
+    assert sr[4] == pytest.approx(2 / 5)
+
+
+class ScriptedPolicy:
+    """Constant-action policy for fake-env tests."""
+
+    def __init__(self):
+        self.resets = 0
+
+    def reset(self):
+        self.resets += 1
+
+    def step(self, obs, goal):
+        assert "lang_text" in goal and goal["lang_text"]
+        return np.zeros((1, 7), np.float32)
+
+
+@pytest.fixture()
+def fake_setup():
+    solvable = {"open_drawer", "move_slider_left", "turn_on_led",
+                "turn_on_lightbulb", "lift_red_block_table"}
+    raw = FakeCalvinEnv(hw=16, solvable_tasks=solvable, steps_to_success=2)
+    env = CalvinEnvWrapper(raw, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO)
+    import yaml
+    from pathlib import Path
+    ann_path = (Path(__file__).resolve().parents[1] / "conf" / "annotations"
+                / "new_playtable_validation.yaml")
+    with open(ann_path) as f:
+        val_annotations = yaml.safe_load(f)
+    return raw, env, val_annotations
+
+
+def test_long_horizon_evaluator_fake_env(fake_setup):
+    raw, env, val_annotations = fake_setup
+    evaluator = LongHorizonEvaluator(env, raw.make_oracle(), val_annotations,
+                                     num_sequences=6, ep_len=10)
+    policy = ScriptedPolicy()
+    results = evaluator.evaluate_policy(policy, shard_across_hosts=False)
+    assert len(results) == 6
+    assert all(0 <= r <= 5 for r in results)
+    metrics = evaluator.metrics(results)
+    assert "eval_lh/avg_seq_len" in metrics
+    assert 0 <= metrics["eval_lh/sr_chain_1"] <= 1
+    # policy reset once per attempted subtask
+    attempted = sum(r + 1 if r < 5 else 5 for r in results)
+    assert policy.resets == attempted
+
+
+def test_env_wrapper_gripper_binarization(fake_setup):
+    raw, env, _ = fake_setup
+    env.reset()
+    env.step(np.array([0.1, 0, 0, 0, 0, 0, 0.3]))
+    env.step(np.array([0.1, 0, 0, 0, 0, 0, -0.3]))
+    assert raw.actions_log[0][-1] == 1
+    assert raw.actions_log[1][-1] == -1
+
+
+def test_env_wrapper_obs_shapes(fake_setup):
+    raw, env, _ = fake_setup
+    obs = env.reset()
+    assert obs["rgb_obs"]["rgb_static"].shape == (1, 1, 16, 16, 3)
+    assert obs["rgb_obs"]["rgb_static"].dtype == np.uint8
+    assert obs["robot_obs"].shape == (1, 1, 8)
+
+
+def test_print_and_save(tmp_path, fake_setup):
+    results = [5, 2, 0]
+    seqs = ms.get_sequences(3)
+    ranking = print_and_save(results, seqs, str(tmp_path))
+    assert (tmp_path / "results.json").exists()
+    assert ranking["avg_seq_len"] == pytest.approx(7 / 3)
+    total = sum(v["total"] for v in ranking["task_info"].values())
+    assert total == 15
+
+
+def test_rollout_video(tmp_path):
+    video = RolloutVideo(save_dir=str(tmp_path), log_to_file=True)
+    video.new_video("test", caption="open drawer")
+    video.new_subtask()
+    for _ in range(5):
+        video.update(np.zeros((1, 1, 32, 32, 3), np.uint8))
+    video.draw_outcome(True)
+    video.add_language_instruction("open the drawer")
+    video.log()
+    assert (tmp_path / "test.mp4").exists()
+
+
+def test_evaluate_cli_fake_env(tmp_path):
+    """The full CLI path with a tiny model + fake env."""
+    from mode_diffusion_policy_tpu.evaluation import evaluate_calvin
+    ranking = evaluate_calvin.main([
+        "--fake-env", "--num-sequences", "2", "--ep-len", "4",
+        "--latent-dim", "32", "--n-layers", "1", "--resnet-type", "18",
+        "--image-size", "24", "--log-dir", str(tmp_path),
+        "--fake-steps-to-success", "2"])
+    assert "avg_seq_len" in ranking
+    assert (tmp_path / "results.json").exists()
