@@ -1,0 +1,158 @@
+"""Builders: reference-shaped config dicts -> framework objects.
+
+These are the functions the registry maps the reference ``_target_`` strings
+onto, translating the hydra config surface (conf/model/mode_agent.yaml etc.)
+into MoDEAgentConfig / CalvinDataModule / Trainer arguments.
+"""
+from __future__ import annotations
+
+import ast
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def build_dit_cfg(**kwargs) -> Dict[str, Any]:
+    return kwargs
+
+
+def build_denoiser_cfg(**kwargs) -> Dict[str, Any]:
+    return kwargs
+
+
+def build_ema_cfg(**kwargs) -> Dict[str, Any]:
+    """EMA hyperparams (conf/callbacks/calvin.yaml:4-13) -> ema_kwargs for
+    training.optim.ema_decay_schedule."""
+    return {
+        "inv_gamma": kwargs.get("inv_gamma", 1.0),
+        "power": kwargs.get("power", 2 / 3),
+        "min_value": kwargs.get("min_value", 0.0),
+        "max_value": kwargs.get("max_value", 0.9999),
+        "start_step": kwargs.get("start_step", 0),
+    }
+
+
+def build_checkpoint_cfg(**kwargs) -> Dict[str, Any]:
+    return {
+        "monitor": kwargs.get("monitor", "eval_lh/avg_seq_len"),
+        "mode": kwargs.get("mode", "max"),
+        "save_top_k": kwargs.get("save_top_k", 1),
+    }
+
+
+def build_lang_clip(model_name: str = "ViT-B/32",
+                    freeze_backbone: bool = True,
+                    clip_checkpoint: Optional[str] = None, **_):
+    """LangClip facade; loads converted OpenAI CLIP weights when a checkpoint
+    path is provided (offline environments get a random-init tower)."""
+    from ..models.encoders.clip_text import (CLIPTextConfig, LangClip,
+                                             convert_clip_text,
+                                             infer_text_config)
+    if clip_checkpoint:
+        from ..utils.checkpoint_convert import load_torch_checkpoint
+        sd = load_torch_checkpoint(clip_checkpoint)
+        cfg = infer_text_config(sd)
+        return LangClip(convert_clip_text(sd), cfg, model_name=model_name)
+    logger.warning("no CLIP checkpoint provided; using random-init text tower")
+    return LangClip.initialize_random(jax.random.PRNGKey(0))
+
+
+def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
+    """conf/model/mode_agent.yaml -> (MoDEAgent, optimizer_kwargs,
+    lang_cfg)."""
+    from ..models.agent import MoDEAgent, MoDEAgentConfig
+
+    inner = model_cfg.get("model", {}).get("inner_model", {})
+    opt = model_cfg.get("optimizer", {})
+    lrs = model_cfg.get("lr_scheduler", {}).get("lr_scheduler", {})
+
+    def _num(v, default):
+        try:
+            return type(default)(v)
+        except (TypeError, ValueError):
+            return default
+
+    cfg = MoDEAgentConfig(
+        latent_dim=_num(model_cfg.get("latent_dim", 1024), 1024),
+        multistep=_num(model_cfg.get("multistep", 10), 10),
+        sampler_type=model_cfg.get("sampler_type", "ddim"),
+        num_sampling_steps=_num(model_cfg.get("num_sampling_steps", 10), 10),
+        sigma_data=_num(model_cfg.get("sigma_data", 0.5), 0.5),
+        sigma_min=_num(model_cfg.get("sigma_min", 0.001), 0.001),
+        sigma_max=_num(model_cfg.get("sigma_max", 80), 80.0),
+        noise_scheduler=model_cfg.get("noise_scheduler", "exponential"),
+        sigma_sample_density_type=model_cfg.get("sigma_sample_density_type",
+                                                "loglogistic"),
+        cond_dim=_num(model_cfg.get("cond_dim", 512), 512),
+        resnet_type=str(model_cfg.get("resnet_type", "50")),
+        act_window_size=_num(model_cfg.get("act_window_size", 10), 10),
+        action_dim=_num(inner.get("action_dim", 7), 7),
+        obs_seq_len=_num(inner.get("obs_seq_len", 1), 1),
+        goal_seq_len=_num(inner.get("goal_seq_len", 1), 1),
+        entropy_gamma=_num(model_cfg.get("entropy_gamma", 0.0), 0.0),
+        router_z_delta=_num(model_cfg.get("router_z_delta", 0.0), 0.0),
+        use_proprio=bool(model_cfg.get("use_proprio", False)),
+        n_layers=_num(inner.get("n_layers", 12), 12),
+        n_heads=_num(inner.get("n_heads", 8), 8),
+        num_experts=_num(inner.get("num_experts", 4), 4),
+        top_k=_num(inner.get("top_k", 2), 2),
+        seed=_num(model_cfg.get("seed", 42), 42),
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+    agent = MoDEAgent(cfg)
+
+    phase_ratio = lrs.get("phase_ratio", "(0.02, 0.08, 0.9)")
+    if isinstance(phase_ratio, str):
+        phase_ratio = ast.literal_eval(phase_ratio)
+    optimizer_kwargs = {
+        "learning_rate": _num(opt.get("learning_rate", 1e-4), 1e-4),
+        "betas": tuple(opt.get("betas", (0.9, 0.95))),
+        "transformer_weight_decay": _num(
+            opt.get("transformer_weight_decay", 0.05), 0.05),
+        "use_lr_scheduler": bool(model_cfg.get("use_lr_scheduler", True)),
+        "total_steps": _num(lrs.get("total_steps", 45000), 45000),
+        "phase_ratio": tuple(phase_ratio),
+        "init_lr_scale": _num(lrs.get("init_lr_scale", 0.1), 0.1),
+        "final_lr_scale": _num(lrs.get("final_lr_scale", 1e-6), 1e-6),
+    }
+    lang_cfg = model_cfg.get("language_goal", {})
+    return agent, optimizer_kwargs, lang_cfg
+
+
+def build_calvin_datamodule(dm_cfg: Dict[str, Any], lang_embed=None):
+    """conf/datamodule/calvin.yaml -> CalvinDataModule."""
+    from ..data.datamodule import CalvinDataModule
+
+    lang_ds = dm_cfg.get("datasets", {}).get("lang_dataset", {})
+    return CalvinDataModule(
+        root_data_dir=dm_cfg["root_data_dir"],
+        batch_size=int(lang_ds.get("batch_size", dm_cfg.get("batch_size", 32))),
+        act_seq_len=int(lang_ds.get("action_seq_len", 10)),
+        obs_seq_len=int(lang_ds.get("obs_seq_len", 1)),
+        lang_folder=lang_ds.get("lang_folder", "lang_annotations"),
+        use_extracted_rel_actions=bool(
+            lang_ds.get("use_extracted_rel_actions", False)),
+        lang_embed=lang_embed,
+        shuffle_val=bool(dm_cfg.get("shuffle_val", False)),
+        transforms=dm_cfg.get("transforms"),
+        dataset_kwargs={
+            "obs_space": dm_cfg.get("observation_space"),
+            "proprio_state": dm_cfg.get("proprioception_dims"),
+        },
+    )
+
+
+def build_libero_datamodule(dm_cfg: Dict[str, Any], lang_embed=None):
+    from ..data.libero import LiberoDataModule
+    return LiberoDataModule(
+        benchmark_name=dm_cfg.get("benchmark_name", "libero_10"),
+        root_data_dir=dm_cfg.get("root_data_dir"),
+        batch_size=int(dm_cfg.get("batch_size", 32)),
+        seq_len=int(dm_cfg.get("action_seq_len", dm_cfg.get("seq_len", 10))),
+        obs_seq_len=int(dm_cfg.get("obs_seq_len", 1)),
+        lang_embed=lang_embed,
+    )

@@ -217,11 +217,21 @@ class Trainer:
     def fit(self, state: TrainState, train_iter_fn: Callable[[], Iterable],
             val_iter_fn: Optional[Callable[[], Iterable]] = None) -> TrainState:
         """train_iter_fn() -> iterable of host batches per epoch."""
+        import inspect
+
+        def _call_iter(fn, epoch):
+            try:
+                if len(inspect.signature(fn).parameters) >= 1:
+                    return fn(epoch)
+            except (TypeError, ValueError):
+                pass
+            return fn()
+
         start_epoch = int(state.step) // max(self.limit_train_batches, 1)
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             n = 0
-            for batch in train_iter_fn():
+            for batch in _call_iter(train_iter_fn, epoch):
                 if n >= self.limit_train_batches:
                     break
                 batch = shard_batch(self.mesh, batch)
@@ -238,8 +248,7 @@ class Trainer:
 
             if val_iter_fn is not None:
                 val_losses = []
-                expert_counts = None
-                for i, batch in enumerate(val_iter_fn()):
+                for i, batch in enumerate(_call_iter(val_iter_fn, epoch)):
                     if i >= self.limit_val_batches:
                         break
                     batch = shard_batch(self.mesh, batch)

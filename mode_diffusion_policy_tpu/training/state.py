@@ -27,7 +27,9 @@ class TrainState:
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=optimizer.init(params),
-            ema_params=jax.tree.map(lambda x: x, params),
+            # materialize a distinct buffer copy — aliasing params would break
+            # buffer donation in the jitted train step
+            ema_params=jax.tree.map(jnp.copy, params),
             rng=rng,
         )
 

@@ -1,0 +1,58 @@
+"""Misc utilities (reference mode/utils/utils.py): environment/git logging,
+timing, batch-portion selection."""
+from __future__ import annotations
+
+import logging
+import subprocess
+import sys
+import time
+from functools import wraps
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def timeit(fn):
+    """Timing decorator (utils.py:16-28)."""
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.time()
+        out = fn(*args, **kwargs)
+        logging.getLogger(fn.__module__).debug(
+            "%s took %.3fs", fn.__name__, time.time() - t0)
+        return out
+    return wrapper
+
+
+def get_git_commit_hash(repo_path: Optional[Path] = None) -> str:
+    """utils.py:45-54."""
+    try:
+        repo_path = repo_path or Path(__file__).resolve().parents[2]
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=repo_path,
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return "unknown"
+
+
+def log_environment_info(logger: logging.Logger):
+    """utils.py:92-137 equivalent: python/jax versions, devices, git hash."""
+    import jax
+    logger.info("python %s", sys.version.split()[0])
+    logger.info("jax %s, backend %s", jax.__version__,
+                jax.default_backend())
+    logger.info("devices: %s", jax.devices())
+    logger.info("process %d/%d", jax.process_index(), jax.process_count())
+    logger.info("git commit: %s", get_git_commit_hash())
+
+
+def get_portion_of_batch_ids(percentage: float, batch_size: int) -> np.ndarray:
+    """Deterministically select a percentage of batch indices
+    (utils.py:140-158)."""
+    num = int(batch_size * percentage)
+    if num == 0:
+        return np.array([], dtype=int)
+    indices = np.arange(batch_size)
+    rng = np.random.default_rng(0)
+    return np.sort(rng.choice(indices, num, replace=False))

@@ -1,0 +1,91 @@
+"""Config system: hydra-style composition, interpolation, overrides, the
+_target_ registry aliases, and the full config_calvin.yaml resolving into
+framework objects."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mode_diffusion_policy_tpu.config.loader import (load_config,
+                                                     resolve_interpolations)
+from mode_diffusion_policy_tpu.config.registry import instantiate, resolve_target
+
+CONF = Path(__file__).resolve().parents[1] / "conf"
+
+
+def test_load_root_config():
+    cfg = load_config(CONF, "config_calvin")
+    assert cfg["model"]["latent_dim"] == 1024
+    assert cfg["model"]["sampler_type"] == "ddim"
+    # interpolation across groups: ${act_seq_len} -> 10
+    assert cfg["model"]["act_window_size"] == 10
+    assert cfg["model"]["multistep"] == 10
+    assert cfg["datamodule"]["datasets"]["lang_dataset"]["action_seq_len"] == 10
+    # nested defaults: transforms group pulled into datamodule
+    assert "train" in cfg["datamodule"]["transforms"]
+    # absolute @rename default: tasks + annotations inside rollout_lh
+    rollout = cfg["callbacks"]["rollout_lh"]
+    assert "tasks" in rollout and "val_annotations" in rollout
+    assert "open_drawer" in rollout["val_annotations"]
+    assert rollout["ep_len"] == 360 and rollout["num_sequences"] == 1000
+
+
+def test_overrides():
+    cfg = load_config(CONF, "config_calvin",
+                      ["batch_size=16", "model.latent_dim=64",
+                       "trainer.max_epochs=2"])
+    assert cfg["batch_size"] == 16
+    assert cfg["model"]["latent_dim"] == 64
+    assert cfg["trainer"]["max_epochs"] == 2
+    # interpolations see overridden values
+    assert cfg["datamodule"]["datasets"]["lang_dataset"]["batch_size"] == 16
+
+
+def test_interpolation_resolution():
+    cfg = resolve_interpolations({"a": 5, "b": "${a}", "c": {"d": "${b}"},
+                                  "e": "x${a}y"})
+    assert cfg["b"] == 5 and cfg["c"]["d"] == 5 and cfg["e"] == "x5y"
+
+
+def test_registry_aliases():
+    from mode_diffusion_policy_tpu.data.calvin_dataset import ExtendedDiskDataset
+    assert resolve_target(
+        "mode.datasets.disk_dataset.ExtendedDiskDataset") is ExtendedDiskDataset
+    assert resolve_target(
+        "torchvision.transforms.Resize") == "__transform__:resize"
+
+
+def test_build_agent_from_reference_config():
+    from mode_diffusion_policy_tpu.config.builders import build_agent
+    cfg = load_config(CONF, "config_calvin",
+                      ["model.latent_dim=64",
+                       "model.model.inner_model.n_layers=2"])
+    agent, opt_kwargs, lang_cfg = build_agent(cfg["model"])
+    assert agent.cfg.latent_dim == 64
+    assert agent.cfg.n_layers == 2
+    assert agent.cfg.sampler_type == "ddim"
+    assert agent.cfg.resnet_type == "50"
+    assert opt_kwargs["learning_rate"] == pytest.approx(1e-4)
+    assert opt_kwargs["phase_ratio"] == (0.02, 0.08, 0.9)
+    assert opt_kwargs["total_steps"] == 45000
+    assert lang_cfg["model_name"] == "ViT-B/32"
+
+
+def test_build_datamodule_from_config(tmp_path):
+    from calvin_fixture import make_calvin_dataset
+    from mode_diffusion_policy_tpu.config.builders import build_calvin_datamodule
+    root = make_calvin_dataset(tmp_path / "calvin", n_episodes=2, ep_len=15)
+    cfg = load_config(CONF, "config_calvin",
+                      [f"root_data_dir={root}", "batch_size=2",
+                       "use_extracted_rel_actions=false"])
+    dm = build_calvin_datamodule(cfg["datamodule"]).setup()
+    batch = next(dm.train_batches())
+    assert batch["rgb_static"].shape[0] == 2
+    assert batch["actions"].shape == (2, 10, 7)
+
+
+def test_instantiate_with_target():
+    obj = instantiate({
+        "_target_": "mode_diffusion_policy_tpu.models.agent.MoDEAgentConfig",
+        "latent_dim": 32})
+    assert obj.latent_dim == 32
