@@ -1,0 +1,149 @@
+"""LIBERO stack: hdf5 sequence dataset semantics, obs translation, data
+module, fake-env evaluation, and the evaluate CLI."""
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from mode_diffusion_policy_tpu.data.libero import (
+    LiberoDataModule, LiberoMultitaskDataset, LiberoSequenceDataset,
+    task_description_from_filename)
+from mode_diffusion_policy_tpu.rollout.libero_rollout import (
+    FakeLiberoEnv, LiberoEvaluator, translate_obs)
+
+
+def make_libero_hdf5(path, n_demos=2, demo_len=15, hw=24, seed=0):
+    rng = np.random.default_rng(seed)
+    with h5py.File(path, "w") as f:
+        for d in range(n_demos):
+            g = f.create_group(f"data/demo_{d}")
+            g.create_dataset("actions",
+                             data=rng.uniform(-1, 1, (demo_len, 7)
+                                              ).astype(np.float32))
+            o = g.create_group("obs")
+            o.create_dataset("agentview_rgb",
+                             data=rng.integers(0, 255, (demo_len, hw, hw, 3),
+                                               np.uint8))
+            o.create_dataset("eye_in_hand_rgb",
+                             data=rng.integers(0, 255, (demo_len, hw, hw, 3),
+                                               np.uint8))
+            o.create_dataset("joint_states",
+                             data=rng.standard_normal((demo_len, 7)
+                                                      ).astype(np.float32))
+            o.create_dataset("gripper_states",
+                             data=rng.standard_normal((demo_len, 2)
+                                                      ).astype(np.float32))
+    return path
+
+
+@pytest.fixture(scope="module")
+def libero_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("libero") / "libero_10"
+    root.mkdir()
+    make_libero_hdf5(root / "SCENE1_open_the_top_drawer_demo.hdf5", seed=0)
+    make_libero_hdf5(root / "SCENE2_put_the_bowl_on_the_plate_demo.hdf5",
+                     seed=1)
+    return root.parent
+
+
+def test_task_description_from_filename():
+    assert task_description_from_filename(
+        "KITCHEN_SCENE10_put_the_butter_in_the_basket_demo.hdf5") == \
+        "put the butter in the basket"
+    assert task_description_from_filename(
+        "SCENE1_open_the_top_drawer_demo.hdf5") == "open the top drawer"
+
+
+def test_sequence_dataset_windows_and_padding(libero_root):
+    path = next((libero_root / "libero_10").glob("*.hdf5"))
+    ds = LiberoSequenceDataset(path, seq_len=10, obs_seq_len=1)
+    assert len(ds) == 2 * 15  # one index per frame, pad_seq_length
+    item = ds[0]
+    assert item["rgb_obs"]["rgb_static"].shape == (1, 24, 24, 3)
+    assert item["actions"].shape == (10, 7)
+    assert item["robot_obs"].shape == (1, 9)  # 7 joints + 2 gripper
+    assert item["lang_text"] == "open the top drawer"
+    # end-of-demo padding repeats the last action
+    last = ds[14]  # final frame of demo_0
+    np.testing.assert_array_equal(last["actions"][0], last["actions"][5])
+    ds.close()
+
+
+def test_sequence_dataset_cache_all_matches(libero_root):
+    path = next((libero_root / "libero_10").glob("*.hdf5"))
+    a = LiberoSequenceDataset(path, seq_len=10)
+    b = LiberoSequenceDataset(path, seq_len=10, cache_all=True)
+    for i in (0, 7, 29):
+        np.testing.assert_array_equal(a[i]["actions"], b[i]["actions"])
+        np.testing.assert_array_equal(a[i]["rgb_obs"]["rgb_static"],
+                                      b[i]["rgb_obs"]["rgb_static"])
+    a.close()
+
+
+def test_multitask_concat(libero_root):
+    paths = sorted((libero_root / "libero_10").glob("*.hdf5"))
+    ds = LiberoMultitaskDataset([
+        LiberoSequenceDataset(p, seq_len=10) for p in paths])
+    assert len(ds) == 60
+    assert ds[0]["lang_text"] != ds[59]["lang_text"]
+
+
+def test_datamodule(libero_root):
+    def fake_lang(texts):
+        return np.stack([np.full((1, 8), float(len(t)), np.float32)
+                         for t in texts])
+
+    dm = LiberoDataModule("libero_10", str(libero_root), batch_size=4,
+                          seq_len=10, lang_embed=fake_lang).setup()
+    assert len(dm.task_descriptions) == 2
+    batch = next(dm.train_batches())
+    assert batch["rgb_static"].shape == (4, 1, 24, 24, 3)
+    assert batch["actions"].shape == (4, 10, 7)
+    assert batch["lang_emb"].shape == (4, 1, 8)
+
+
+def test_translate_obs():
+    env = FakeLiberoEnv(hw=16)
+    obs = env.reset()
+    t = translate_obs(obs)
+    assert t["rgb_obs"]["rgb_static"].shape == (1, 1, 16, 16, 3)
+    assert t["robot_obs"].shape == (1, 1, 9)
+
+
+class CountingPolicy:
+    def __init__(self):
+        self.resets = 0
+        self.steps = 0
+
+    def reset(self):
+        self.resets += 1
+
+    def step(self, obs, goal):
+        assert goal["lang_text"]
+        self.steps += 1
+        return np.zeros((1, 7), np.float32)
+
+
+def test_libero_evaluator_fake_env():
+    env = FakeLiberoEnv(steps_to_success=12)  # 5 warmup + 7 policy steps
+    evaluator = LiberoEvaluator(n_eval=4, max_steps=20, warmup_steps=5)
+    policy = CountingPolicy()
+    sr = evaluator.evaluate_task(policy, env, "fake task",
+                                 shard_across_hosts=False)
+    assert sr == 1.0
+    assert policy.resets == 4
+    env_fail = FakeLiberoEnv(steps_to_success=None)
+    sr = evaluator.evaluate_task(policy, env_fail, "never succeeds",
+                                 shard_across_hosts=False)
+    assert sr == 0.0
+
+
+def test_evaluate_libero_cli(tmp_path):
+    from mode_diffusion_policy_tpu.evaluation import evaluate_libero
+    metrics = evaluate_libero.main([
+        "--fake-env", "--fake-tasks", "2", "--n-eval", "2",
+        "--max-steps", "6", "--latent-dim", "32", "--n-layers", "1",
+        "--resnet-type", "18", "--img-size", "24",
+        "--log-dir", str(tmp_path), "--fake-steps-to-success", "3"])
+    assert metrics["eval/avg_success_rate"] == 1.0
+    assert (tmp_path / "results_libero.json").exists()
