@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: fused two-expert SwishGLU MLP for the per-sigma MoE
+inference fast path.
+
+At a fixed noise level the cond-only router picks the same two experts for
+every token (modedit.py:440,331-334), so the MoE reduces to
+``p0*E_i0(x) + p1*E_i1(x)``. The XLA fallback (ops/moe.py
+moe_ffn_top2_gather) materializes the gathered [2, D, 2H] weights in HBM
+(3x the minimal traffic); this kernel instead uses scalar-prefetched expert
+indices in the BlockSpec index maps, so the pipeline DMAs only the two
+selected experts' weight tiles straight from the stacked [E, ...] arrays —
+speed-of-light HBM traffic at small batch.
+
+Grid: (token_blocks, 2 expert slots, hidden_blocks); the output block is
+revisited across the two trailing grid dims and accumulated in fp32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
+            w2_ref, out_ref):
+    e = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(e == 0, k == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[:]
+    value = jnp.dot(x, w1v_ref[0], preferred_element_type=jnp.float32)
+    value = value + b1v_ref[0].astype(jnp.float32)
+    gate = jnp.dot(x, w1g_ref[0], preferred_element_type=jnp.float32)
+    gate = gate + b1g_ref[0].astype(jnp.float32)
+    act = (value * jax.nn.silu(gate)).astype(x.dtype)
+    contrib = jnp.dot(act, w2_ref[0], preferred_element_type=jnp.float32)
+    p = probs_ref[e].astype(jnp.float32)
+    out_ref[:] += p * contrib
+
+
+@functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
+                                             "interpret"))
+def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
+                   w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
+                   block_tokens: int = 256, block_hidden: int = 512,
+                   interpret: bool = False) -> jax.Array:
+    """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
+    b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype."""
+    B, T, D = x.shape
+    E, _, H2 = w1.shape
+    H = H2 // 2
+    N = B * T
+    xf = x.reshape(N, D)
+    TM = min(block_tokens, max(8, N))
+    pad = (-N) % TM
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    Np = N + pad
+    TH = min(block_hidden, H)
+    assert H % TH == 0, (H, TH)
+    n_tok = Np // TM
+    n_h = H // TH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # idx, probs
+        grid=(n_tok, 2, n_h),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            # value / gate halves of the SwishGLU projection; expert row
+            # selected via the prefetched indices
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, TH), lambda i, e, k, idx, probs: (idx[e], k)),
+            pl.BlockSpec((1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], n_h + k)),
+            pl.BlockSpec((1, TH, D),
+                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * D * (3 * H) * 2,
+            bytes_accessed=(2 * (D * H2 + H * D)) * w1.dtype.itemsize
+            + Np * D * (x.dtype.itemsize + 4),
+            transcendentals=Np * H * 2,
+        ),
+    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+      xf, w1, w1, b1, b1, w2)
+    out = out[:N].astype(x.dtype)
+    return out.reshape(B, T, D)

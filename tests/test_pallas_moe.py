@@ -1,0 +1,62 @@
+"""Pallas fused top-2 MoE kernel vs the XLA gather reference (interpret mode
+on CPU; the same kernel compiles natively on TPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mode_diffusion_policy_tpu.ops.moe import moe_ffn_top2_gather
+from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import fused_top2_mlp
+
+
+def make_weights(E=4, D=128, H=512, seed=0, dtype=jnp.float32):
+    k = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(k, 3)
+    w1 = (jax.random.normal(k1, (E, D, 2 * H)) * 0.02).astype(dtype)
+    b1 = (jax.random.normal(k2, (E, 2 * H)) * 0.02).astype(dtype)
+    w2 = (jax.random.normal(k3, (E, H, D)) * 0.02).astype(dtype)
+    return w1, b1, w2
+
+
+@pytest.mark.parametrize("idx,probs", [([0, 2], [0.7, 0.3]),
+                                       ([3, 1], [0.55, 0.45])])
+def test_fused_top2_matches_gather(idx, probs):
+    D, H = 128, 512
+    w1, b1, w2 = make_weights(D=D, H=H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 14, D))
+    idx = jnp.asarray(idx, jnp.int32)
+    probs = jnp.asarray(probs, jnp.float32)
+    want = moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
+    got = fused_top2_mlp(x, idx, probs, w1, b1, w2, block_tokens=16,
+                         block_hidden=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_fused_top2_token_padding():
+    """Token counts not divisible by the block size are padded and trimmed."""
+    D, H = 128, 256
+    w1, b1, w2 = make_weights(D=D, H=H)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 13, D))  # 13 tokens
+    idx = jnp.asarray([1, 3], jnp.int32)
+    probs = jnp.asarray([0.6, 0.4], jnp.float32)
+    want = moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
+    got = fused_top2_mlp(x, idx, probs, w1, b1, w2, block_tokens=8,
+                         block_hidden=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_fused_top2_bf16():
+    D, H = 128, 256
+    w1, b1, w2 = make_weights(D=D, H=H, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 14, D), jnp.bfloat16)
+    idx = jnp.asarray([0, 1], jnp.int32)
+    probs = jnp.asarray([0.5, 0.5], jnp.float32)
+    want = moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
+    got = fused_top2_mlp(x, idx, probs, w1, b1, w2, block_tokens=16,
+                         block_hidden=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2,
+                               rtol=2e-2)
