@@ -110,6 +110,30 @@ def main():
         f"batch of {B} -> {chunks_per_s:.1f} chunks/s/chip "
         f"(fixed call overhead ~{(t1-dt)*1000:.0f} ms)")
 
+    # optional: p50 single-sample policy latency (BASELINE.json metric #2),
+    # measured the same way at B=1
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        rs1, rg1, le1 = rgb_static[:1], rgb_gripper[:1], lang_emb[:1]
+        np.asarray(repeat_n(variables, rs1, rg1, le1, key, 1))
+        np.asarray(repeat_n(variables, rs1, rg1, le1, key, ITERS))
+        t0 = time.time()
+        np.asarray(repeat_n(variables, rs1, rg1, le1, jax.random.PRNGKey(5), 1))
+        t1 = time.time() - t0
+        t0 = time.time()
+        np.asarray(repeat_n(variables, rs1, rg1, le1, jax.random.PRNGKey(6),
+                            ITERS))
+        tN = time.time() - t0
+        lat = (tN - t1) / (ITERS - 1)
+        log(f"b=1 device latency per 10-step chunk (amortized over "
+            f"{cfg.multistep} env steps): {lat*1000:.2f} ms")
+
+    if os.environ.get("BENCH_PROFILE"):
+        trace_dir = os.environ["BENCH_PROFILE"]
+        with jax.profiler.trace(trace_dir):
+            np.asarray(repeat_n(variables, rgb_static, rgb_gripper, lang_emb,
+                                jax.random.PRNGKey(9), 2))
+        log(f"profiler trace written to {trace_dir}")
+
     baseline = 625.0  # north star: 5k chunks/s on v5e-8 => 625 per chip
     print(json.dumps({
         "metric": "10-step action-chunks/sec/chip (307M-active MoDE, b=128, "

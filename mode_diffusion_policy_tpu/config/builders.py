@@ -49,8 +49,7 @@ def build_lang_clip(model_name: str = "ViT-B/32",
                     clip_checkpoint: Optional[str] = None, **_):
     """LangClip facade; loads converted OpenAI CLIP weights when a checkpoint
     path is provided (offline environments get a random-init tower)."""
-    from ..models.encoders.clip_text import (CLIPTextConfig, LangClip,
-                                             convert_clip_text,
+    from ..models.encoders.clip_text import (LangClip, convert_clip_text,
                                              infer_text_config)
     if clip_checkpoint:
         from ..utils.checkpoint_convert import load_torch_checkpoint

@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import sys
 from pathlib import Path
@@ -37,7 +36,6 @@ def build_agent(args):
     import jax.numpy as jnp
 
     from ..models.agent import MoDEAgent, MoDEAgentConfig
-    from ..training.optim import make_optimizer
     from ..training.state import TrainState
 
     cfg = MoDEAgentConfig(

@@ -60,6 +60,7 @@ class MoDEAgentConfig:
     top_k: int = 2
     seed: int = 42
     dtype: Any = jnp.float32
+    use_pallas_moe: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -74,7 +75,8 @@ class MoDEAgentConfig:
             goal_seq_len=self.goal_seq_len, obs_seq_len=self.obs_seq_len,
             action_seq_len=self.act_window_size,
             use_proprio=self.use_proprio, num_experts=self.num_experts,
-            top_k=self.top_k, dtype=self.dtype)
+            top_k=self.top_k, dtype=self.dtype,
+            use_pallas_moe=self.use_pallas_moe)
 
 
 class MoDEAgent:

@@ -79,6 +79,8 @@ class MoDeDiTConfig:
     use_noise_token_as_input: bool = True
     init_style: str = "olmoe"
     dtype: Any = jnp.float32       # computation dtype (bfloat16 for TPU speed)
+    use_pallas_moe: bool = False   # Pallas fused top-2 kernel on the
+                                   # routing-precompute inference path
 
     @property
     def seq_size(self) -> int:
@@ -274,7 +276,11 @@ class NoiseBlockMoE(nn.Module):
 
         if moe_override is not None:
             idx, p = moe_override
-            out = moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
+            if cfg.use_pallas_moe:
+                from ..ops.pallas.moe_kernel import fused_top2_mlp
+                out = fused_top2_mlp(x, idx, p, w1, b1, w2)
+            else:
+                out = moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
             return x + out, None
 
         mask, idx, router_probs, probs, logits = self.router(x, c, train=train)

@@ -35,9 +35,9 @@ def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
 
     x = x_ref[:]
     value = jnp.dot(x, w1v_ref[0], preferred_element_type=jnp.float32)
-    value = value + b1v_ref[0].astype(jnp.float32)
+    value = value + b1v_ref[0, 0].astype(jnp.float32)
     gate = jnp.dot(x, w1g_ref[0], preferred_element_type=jnp.float32)
-    gate = gate + b1g_ref[0].astype(jnp.float32)
+    gate = gate + b1g_ref[0, 0].astype(jnp.float32)
     act = (value * jax.nn.silu(gate)).astype(x.dtype)
     contrib = jnp.dot(act, w2_ref[0], preferred_element_type=jnp.float32)
     p = probs_ref[e].astype(jnp.float32)
@@ -78,9 +78,12 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                          lambda i, e, k, idx, probs: (idx[e], 0, k)),
             pl.BlockSpec((1, D, TH),
                          lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
-            pl.BlockSpec((1, TH), lambda i, e, k, idx, probs: (idx[e], k)),
-            pl.BlockSpec((1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], n_h + k)),
+            # biases as [E, 1, 2H] so the block's trailing two dims satisfy
+            # the TPU (sublane, lane) tiling constraint
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
             pl.BlockSpec((1, TH, D),
                          lambda i, e, k, idx, probs: (idx[e], k, 0)),
         ],
@@ -98,6 +101,6 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
             transcendentals=Np * H * 2,
         ),
     )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
-      xf, w1, w1, b1, b1, w2)
+      xf, w1, w1, b1[:, None, :], b1[:, None, :], w2)
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)

@@ -231,12 +231,17 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             n = 0
+            expert_counts = None
             for batch in _call_iter(train_iter_fn, epoch):
                 if n >= self.limit_train_batches:
                     break
                 batch = shard_batch(self.mesh, batch)
                 state, metrics = self._train_step(state, batch)
                 n += 1
+                if "expert_counts" in metrics:
+                    ec = metrics["expert_counts"]
+                    expert_counts = ec if expert_counts is None \
+                        else expert_counts + ec
                 if n % 100 == 0 or n == 1:
                     host = {k: np.asarray(v) for k, v in metrics.items()
                             if not k.startswith("expert")}
@@ -245,6 +250,12 @@ class Trainer:
             dt = time.time() - t0
             epoch_metrics = {"train/epoch_time_s": dt,
                              "train/steps_per_s": n / max(dt, 1e-9)}
+            if expert_counts is not None:
+                # per-layer normalized expert usage (the TPU analog of the
+                # reference's seaborn heatmap, mode_agent.py:466-511)
+                usage = np.asarray(expert_counts, np.float64)
+                usage = usage / np.maximum(usage.sum(axis=1, keepdims=True), 1)
+                epoch_metrics["MoE_utils/expert_usage"] = usage.round(4)
 
             if val_iter_fn is not None:
                 val_losses = []

@@ -40,7 +40,6 @@ def train(cfg: dict):
         "precision", "bf16")).startswith("bf16") else jnp.float32
     agent, optimizer_kwargs, lang_cfg = build_agent(cfg["model"], dtype=dtype)
 
-    from .config.registry import instantiate
     lang = build_lang_clip(**{k: v for k, v in lang_cfg.items()
                               if not k.startswith("_")},
                            clip_checkpoint=cfg.get("clip_checkpoint"))
