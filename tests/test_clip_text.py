@@ -151,3 +151,21 @@ def test_lang_cache_save_load(tmp_path):
                                 10)
     cache2.load(p)
     np.testing.assert_array_equal(cache2(["hello robot"]), e)
+
+
+def test_vlm_embedding_cache():
+    from mode_diffusion_policy_tpu.models.encoders.lang_cache import (
+        VLMEmbeddingCache)
+    calls = []
+
+    def enc(texts):
+        calls.append(list(texts))
+        return [np.ones((len(t.split()), 4), np.float32) for t in texts]
+
+    cache = VLMEmbeddingCache(enc, max_length=6)
+    emb, mask = cache(["open the drawer", "go"])
+    assert emb.shape == (2, 6, 4) and mask.shape == (2, 6)
+    assert mask[0].sum() == 3 and mask[1].sum() == 1
+    np.testing.assert_array_equal(emb[0, 3:], 0)
+    cache(["go"])
+    assert len(calls) == 1  # cache hit
