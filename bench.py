@@ -46,7 +46,11 @@ def main():
     log(f"devices: {jax.devices()}")
     cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
                           cond_dim=512, resnet_type="50", num_experts=4,
-                          top_k=2, dtype=jnp.bfloat16)
+                          top_k=2, dtype=jnp.bfloat16,
+                          # Pallas fused top-2 kernel: ~1.6x the XLA gather
+                          # path at b=1 (46 vs 74 us/layer), ~par at b=128
+                          use_pallas_moe=os.environ.get(
+                              "BENCH_PALLAS", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     variables = agent.init_variables(jax.random.PRNGKey(0),

@@ -250,6 +250,8 @@ class Trainer:
             dt = time.time() - t0
             epoch_metrics = {"train/epoch_time_s": dt,
                              "train/steps_per_s": n / max(dt, 1e-9)}
+            from ..utils.utils import device_memory_stats
+            epoch_metrics.update(device_memory_stats())
             if expert_counts is not None:
                 # per-layer normalized expert usage (the TPU analog of the
                 # reference's seaborn heatmap, mode_agent.py:466-511)

@@ -79,6 +79,36 @@ def train(cfg: dict):
     image_hw = (224, 224)
     state = trainer.setup(jrandom.PRNGKey(seed), image_hw=image_hw)
 
+    # start_from_pretrained: load converted reference/torch weights into the
+    # fresh state (reference initialize_pretrained_weights, utils/utils.py:31-42
+    # + MoDEAgent.load_pretrained_parameters, mode_agent.py:134-265)
+    ckpt_path = cfg.get("model", {}).get("ckpt_path")
+    if cfg.get("model", {}).get("start_from_pretrained") and ckpt_path:
+        from .utils.checkpoint_convert import (convert_film_resnet,
+                                               convert_modedit, detect_layout,
+                                               load_torch_checkpoint,
+                                               normalize_state_dict)
+        sd = normalize_state_dict(load_torch_checkpoint(str(ckpt_path)))
+        n_layers, n_experts, prefix = detect_layout(sd)
+        params = dict(state.params)
+        params["inner_model"] = convert_modedit(sd, n_layers, n_experts,
+                                                prefix)
+        batch_stats = dict(state.batch_stats)
+        for enc in ("static_resnet", "gripper_resnet"):
+            try:
+                conv = convert_film_resnet(
+                    sd, depth=int(cfg["model"].get("resnet_type", "50")),
+                    prefix=f"{enc}.")
+                params[enc] = conv["params"]
+                batch_stats[enc] = conv["batch_stats"]
+            except KeyError:
+                logger.warning("no %s weights in pretrained checkpoint", enc)
+        import jax
+        state = state.replace(params=params, batch_stats=batch_stats,
+                              ema_params=jax.tree.map(jnp.copy, params))
+        logger.info("initialized from pretrained %s (layers=%d, experts=%d)",
+                    ckpt_path, n_layers, n_experts)
+
     def train_iter(epoch=0):
         for batch in datamodule.train_batches(epoch):
             yield _device_ready(batch, train=True, seed=seed)

@@ -56,3 +56,20 @@ def get_portion_of_batch_ids(percentage: float, batch_size: int) -> np.ndarray:
     indices = np.arange(batch_size)
     rng = np.random.default_rng(0)
     return np.sort(rng.choice(indices, num, replace=False))
+
+
+def device_memory_stats() -> dict:
+    """HBM usage of the first local device (the TPU analog of the reference's
+    CUDA memory logging, training_calvin.py:29-42). Returns {} when the
+    backend doesn't expose stats (e.g. CPU)."""
+    import jax
+    dev = jax.local_devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if not stats:
+        return {}
+    gib = 1024 ** 3
+    return {
+        "mem/bytes_in_use_gib": stats.get("bytes_in_use", 0) / gib,
+        "mem/peak_bytes_in_use_gib": stats.get("peak_bytes_in_use", 0) / gib,
+        "mem/bytes_limit_gib": stats.get("bytes_limit", 0) / gib,
+    }
