@@ -344,3 +344,74 @@ class SubsetDiskDataset(ExtendedDiskDataset):
             i, w = idx
             return super().__getitem__((int(self._subset_indices[i]), w))
         return super().__getitem__(int(self._subset_indices[idx]))
+
+
+class LabeledSubsetDiskDataset(ExtendedDiskDataset):
+    """Random subset restricted to language-labeled frames
+    (disk_dataset.py:329-365). Uses index indirection instead of mutating
+    episode_lookup, so lang_lookup stays aligned."""
+
+    def __init__(self, *args, subset_percentage: float = 0.1,
+                 subset_seed: Optional[int] = 42, **kwargs):
+        super().__init__(*args, **kwargs)
+        rng = np.random.default_rng(subset_seed)
+        lang_data = np.load(self.abs_datasets_dir / self.lang_folder
+                            / "auto_lang_ann.npy", allow_pickle=True).item()
+        labeled = []
+        for start_idx, end_idx in lang_data["info"]["indx"]:
+            labeled.extend(range(start_idx, end_idx + 1))
+        mask = np.isin(self.episode_lookup, np.asarray(labeled))
+        labeled_idx = np.where(mask)[0]
+        keep = max(1, int(len(labeled_idx) * subset_percentage))
+        self._subset_indices = np.sort(
+            rng.choice(labeled_idx, keep, replace=False))
+        logger.info("labeled subset: %d/%d frames", keep, len(labeled_idx))
+
+    def __len__(self):
+        return len(self._subset_indices)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            i, w = idx
+            return super().__getitem__((int(self._subset_indices[i]), w))
+        return super().__getitem__(int(self._subset_indices[idx]))
+
+
+class BalancedLabeledSubsetDataset(ExtendedDiskDataset):
+    """Task-balanced labeled subset (disk_dataset.py:369-418): sample at
+    least ``min_samples_per_task`` frames per task, proportional above."""
+
+    def __init__(self, *args, subset_percentage: float = 0.1,
+                 subset_seed: Optional[int] = 42,
+                 min_samples_per_task: int = 10, **kwargs):
+        super().__init__(*args, **kwargs)
+        from collections import defaultdict
+        rng = np.random.default_rng(subset_seed)
+        lang_data = np.load(self.abs_datasets_dir / self.lang_folder
+                            / "auto_lang_ann.npy", allow_pickle=True).item()
+        tasks = lang_data["language"].get("task",
+                                          lang_data["language"]["ann"])
+        task_to_frames = defaultdict(list)
+        for i, (start_idx, end_idx) in enumerate(lang_data["info"]["indx"]):
+            task_to_frames[tasks[i]].extend(range(start_idx, end_idx + 1))
+        selected = []
+        for task, frames in task_to_frames.items():
+            n = max(min_samples_per_task,
+                    int(len(frames) * subset_percentage))
+            if n >= len(frames):
+                selected.extend(frames)
+            else:
+                selected.extend(rng.choice(frames, n, replace=False))
+        mask = np.isin(self.episode_lookup, np.asarray(selected))
+        self._subset_indices = np.where(mask)[0]
+        logger.info("balanced subset: %d frames across %d tasks",
+                    len(self._subset_indices), len(task_to_frames))
+
+    def __len__(self):
+        return len(self._subset_indices)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            i, w = idx
+            return super().__getitem__((int(self._subset_indices[i]), w))
+        return super().__getitem__(int(self._subset_indices[idx]))

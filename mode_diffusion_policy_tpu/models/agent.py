@@ -154,8 +154,13 @@ class MoDEAgent:
                  "batch_stats": variables["batch_stats"][name]}
             x = imgs.reshape((B * T,) + imgs.shape[2:])
             if train:
-                out, upd = mod.apply(v, x, cond_rep, train=True,
+                # rematerialize encoder activations in the backward pass —
+                # ResNet-50 at 224px dominates training HBM otherwise
+                # (jax.checkpoint trades ~1/3 extra encoder FLOPs for ~7GB)
+                def fwd(v, x, cond):
+                    return mod.apply(v, x, cond, train=True,
                                      mutable=["batch_stats"])
+                out, upd = jax.checkpoint(fwd)(v, x, cond_rep)
                 return out.reshape(B, T, -1), upd["batch_stats"]
             return mod.apply(v, x, cond_rep, train=False).reshape(B, T, -1), None
 

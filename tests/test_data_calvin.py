@@ -121,3 +121,26 @@ def test_plain_disk_dataset_windows(calvin_root):
     item = ds[0]
     assert item["rgb_obs"]["rgb_static"].shape == (8, 24, 24, 3)
     assert item["actions"].shape == (8, 7)
+
+
+def test_subset_variants(calvin_root):
+    from mode_diffusion_policy_tpu.data.calvin_dataset import (
+        BalancedLabeledSubsetDataset, LabeledSubsetDiskDataset,
+        SubsetDiskDataset)
+    kw = dict(key="lang", lang_folder="lang_annotations",
+              min_window_size=10, max_window_size=10, pad=False,
+              obs_seq_len=1, action_seq_len=10, future_range=1)
+    full = make_ds(calvin_root)
+    sub = SubsetDiskDataset(calvin_root / "training", subset_percentage=0.3,
+                            **kw)
+    assert 0 < len(sub) < len(full)
+    assert sub[0]["actions"].shape == (10, 7)
+    lab = LabeledSubsetDiskDataset(calvin_root / "training",
+                                   subset_percentage=0.5, **kw)
+    assert 0 < len(lab) <= len(full)
+    assert isinstance(lab[0]["lang_text"], str)
+    bal = BalancedLabeledSubsetDataset(calvin_root / "training",
+                                       subset_percentage=0.5,
+                                       min_samples_per_task=2, **kw)
+    assert 0 < len(bal) <= len(full)
+    assert bal[0]["actions"].shape == (10, 7)
