@@ -74,3 +74,37 @@ def process_local_slice(total: int) -> Tuple[int, int]:
     start = pid * per + min(pid, extra)
     end = start + per + (1 if pid < extra else 0)
     return start, end
+
+
+def zero1_state_sharding(mesh: Mesh, state, *, axis: str = "dp"):
+    """ZeRO-1-style sharding spec for a TrainState: parameters and batch
+    stats replicated (pure data parallelism, as the reference's DDP), but
+    optimizer moments and EMA weights sharded over the data axis — each chip
+    stores 1/N of the fp32 state, and GSPMD inserts the all-gathers around
+    the (elementwise) optimizer update. Leaves whose leading dim does not
+    divide the axis size stay replicated.
+
+    Goes beyond the reference (which replicates all state per GPU); at the
+    flagship 739M-param scale this frees ~7.5GB/chip on an 8-chip mesh.
+    """
+    n = mesh.shape[axis]
+    rep = NamedSharding(mesh, P())
+
+    def shard_leaf(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0 \
+                and x.shape[0] > 0:
+            return NamedSharding(mesh, P(axis))
+        return rep
+
+    def map_tree(tree):
+        return jax.tree.map(shard_leaf, tree)
+
+    return type(state)(
+        step=rep,
+        rng=rep,
+        params=jax.tree.map(lambda _: rep, state.params),
+        batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+        opt_state=jax.tree.map(shard_leaf, state.opt_state,
+                               is_leaf=lambda x: hasattr(x, "shape")),
+        ema_params=map_tree(state.ema_params),
+    )

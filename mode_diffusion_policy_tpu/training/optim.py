@@ -73,9 +73,13 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                    init_lr_scale: float = 0.1,
                    final_lr_scale: float = 1e-6,
                    max_grad_norm: Optional[float] = None,
-                   optimizer_type: str = "adamw"):
+                   optimizer_type: str = "adamw",
+                   mu_dtype: Optional[Any] = None):
     """AdamW (or ADOPT) + tri-stage LR, masked weight decay. Returns
-    (optax.GradientTransformation, schedule_fn)."""
+    (optax.GradientTransformation, schedule_fn). ``mu_dtype=jnp.bfloat16``
+    halves the first-moment memory (useful to fit flagship-scale training on
+    a single 16GB chip; the reference's DDP replicates fp32 state per GPU
+    the same way)."""
     if use_lr_scheduler:
         schedule = tri_stage_schedule(learning_rate, total_steps, phase_ratio,
                                       init_lr_scale, final_lr_scale)
@@ -85,7 +89,8 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
     mask = _decay_mask(params)
     if optimizer_type == "adamw":
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1],
-                          weight_decay=transformer_weight_decay, mask=mask)
+                          weight_decay=transformer_weight_decay, mask=mask,
+                          mu_dtype=mu_dtype)
     elif optimizer_type == "adopt":
         opt = optax.chain(
             adopt(b1=betas[0], b2=0.9999),
@@ -156,6 +161,9 @@ def ema_decay_schedule(step, *, inv_gamma: float = 1.0, power: float = 2 / 3,
 
 
 def ema_update(ema_params, new_params, decay):
-    """ema <- ema - (1-decay)*(ema - new)  (reference ema.py:117-126)."""
+    """ema <- ema - (1-decay)*(ema - new)  (reference ema.py:117-126).
+    Preserves the EMA leaves' dtype (they may be stored in bf16)."""
     return jax.tree.map(
-        lambda e, p: e - (1.0 - decay) * (e - p), ema_params, new_params)
+        lambda e, p: (e - (1.0 - decay) * (e - p.astype(e.dtype))
+                      ).astype(e.dtype),
+        ema_params, new_params)

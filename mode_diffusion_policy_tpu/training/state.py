@@ -20,16 +20,22 @@ class TrainState:
     rng: jax.Array
 
     @classmethod
-    def create(cls, variables, optimizer, rng):
+    def create(cls, variables, optimizer, rng, ema_dtype=None):
+        """ema_dtype=jnp.bfloat16 halves EMA memory (EMA weights are only
+        used for bf16 eval anyway)."""
         params = variables["params"]
+        if ema_dtype is not None:
+            ema = jax.tree.map(lambda x: x.astype(ema_dtype), params)
+        else:
+            # materialize a distinct buffer copy — aliasing params would
+            # break buffer donation in the jitted train step
+            ema = jax.tree.map(jnp.copy, params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=optimizer.init(params),
-            # materialize a distinct buffer copy — aliasing params would break
-            # buffer donation in the jitted train step
-            ema_params=jax.tree.map(jnp.copy, params),
+            ema_params=ema,
             rng=rng,
         )
 

@@ -175,3 +175,39 @@ def test_batch_actually_sharded(tiny_setup):
     shard_counts = {len(v.sharding.device_set)
                     for v in jax.tree.leaves(batch)}
     assert shard_counts == {8}
+
+
+def test_zero1_optimizer_state_sharding(tiny_setup):
+    """ZeRO-1: optimizer moments + EMA sharded over dp, params replicated;
+    training remains numerically identical to the fully-replicated setup."""
+    from mode_diffusion_policy_tpu.parallel.mesh import zero1_state_sharding
+
+    cfg, agent, variables = tiny_setup
+    mesh = make_mesh()
+    optimizer, _ = make_optimizer(variables["params"], learning_rate=1e-3,
+                                  use_lr_scheduler=False)
+    step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
+    batch = shard_batch(mesh, make_batch(cfg, B=8, seed=0))
+
+    # replicated baseline
+    state_r = TrainState.create(variables, optimizer, jax.random.PRNGKey(1))
+    rep = replicated(mesh)
+    step_rep = jax.jit(step_fn, out_shardings=(rep, rep))
+    sr, mr = step_rep(jax.device_put(state_r, rep), batch)
+
+    # zero-1 sharded
+    state_z = TrainState.create(variables, optimizer, jax.random.PRNGKey(1))
+    zsh = zero1_state_sharding(mesh, state_z)
+    step_z = jax.jit(step_fn, out_shardings=(zsh, rep))
+    sz, mz = step_z(jax.device_put(state_z, zsh), batch)
+
+    np.testing.assert_allclose(float(mz["train/total_loss"]),
+                               float(mr["train/total_loss"]), rtol=1e-6)
+    # params identical, moments actually sharded
+    pr = jax.tree.leaves(sr.params)[0]
+    pz = jax.tree.leaves(sz.params)[0]
+    np.testing.assert_allclose(np.asarray(pz), np.asarray(pr), atol=1e-6)
+    sharded_leaves = [x for x in jax.tree.leaves(sz.opt_state)
+                      if hasattr(x, "sharding")
+                      and x.sharding.spec == ("dp",)]
+    assert sharded_leaves, "no optimizer leaves actually sharded"
