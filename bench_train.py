@@ -1,0 +1,104 @@
+"""Training-throughput benchmark on one chip (not run by the driver; bench.py
+is the headline inference benchmark).
+
+Measures the full flagship train step — on-device augmentation, 2x
+FiLM-ResNet-50 (rematerialized), EDM loss with router aux losses, backward,
+AdamW + EMA — scanned n times inside one jit with the state donated and
+chained (see CLAUDE.md for why per-call host timing lies on this tunnel).
+
+Flagship (739M params) fits a single 16GB v5e at per-chip batch 32 — the
+reference's per-GPU load (global 128 over 4 GPUs) — using bf16 AdamW first
+moment + bf16 EMA storage. On a multi-chip mesh, prefer ZeRO-1 sharding
+(parallel/mesh.zero1_state_sharding) over these dtype tricks.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+os.makedirs(os.path.expanduser("~/.cache/jax_mode_tpu"), exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_mode_tpu"))
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.ops.image import preprocess_camera
+    from mode_diffusion_policy_tpu.training.loop import make_train_step
+    from mode_diffusion_policy_tpu.training.optim import make_optimizer
+    from mode_diffusion_policy_tpu.training.state import TrainState
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    IMG = int(os.environ.get("BENCH_IMG", "224"))
+    N = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
+
+    cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
+                          cond_dim=512, resnet_type="50", num_experts=4,
+                          top_k=2, entropy_gamma=0.01, router_z_delta=0.001,
+                          dtype=jnp.bfloat16)
+    agent = MoDEAgent(cfg)
+    t0 = time.time()
+    variables = agent.init_variables(jax.random.PRNGKey(0),
+                                     image_hw=(IMG, IMG))
+    log(f"init {time.time()-t0:.0f}s")
+    optimizer, _ = make_optimizer(variables["params"],
+                                  mu_dtype=jnp.bfloat16)
+    state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
+                              ema_dtype=jnp.bfloat16)
+    step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
+
+    rng = np.random.default_rng(0)
+    ru8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    gu8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    acts = jnp.asarray(rng.standard_normal((B, 10, 7)).astype(np.float32) * .3)
+    lang = jnp.asarray(rng.standard_normal((B, 1, 512)).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def train_n(state, n):
+        def body(st, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            batch = {
+                "rgb_static": preprocess_camera(key, ru8, size=IMG,
+                                                shift_pad=10, train=True),
+                "rgb_gripper": preprocess_camera(key, gu8, size=IMG,
+                                                 shift_pad=4, train=True),
+                "actions": acts, "lang_emb": lang,
+            }
+            st, metrics = step_fn(st, batch)
+            return st, metrics["train/total_loss"]
+        return jax.lax.scan(body, state, jnp.arange(n))
+
+    state = jax.device_put(state)
+    t0 = time.time()
+    state, l1 = train_n(state, 1)
+    log(f"n=1 compile+run {time.time()-t0:.0f}s loss={np.asarray(l1)}")
+    t0 = time.time()
+    state, lN = train_n(state, N)
+    np.asarray(lN)
+    log(f"n={N} compile+run {time.time()-t0:.0f}s")
+    t0 = time.time()
+    state, l = train_n(state, 1)
+    np.asarray(l)
+    t1 = time.time() - t0
+    t0 = time.time()
+    state, l = train_n(state, N)
+    l = np.asarray(l)
+    tN = time.time() - t0
+    per = (tN - t1) / (N - 1)
+    print(f"train step: {per*1000:.1f} ms @ b={B} -> "
+          f"{B/per:.0f} samples/s/chip; losses {l[:3]}")
+
+
+if __name__ == "__main__":
+    main()
