@@ -135,6 +135,7 @@ def build_calvin_datamodule(dm_cfg: Dict[str, Any], lang_embed=None):
         lang_folder=lang_ds.get("lang_folder", "lang_annotations"),
         use_extracted_rel_actions=bool(
             lang_ds.get("use_extracted_rel_actions", False)),
+        use_shm_cache=bool(dm_cfg.get("use_shm_cache", False)),
         lang_embed=lang_embed,
         shuffle_val=bool(dm_cfg.get("shuffle_val", False)),
         transforms=dm_cfg.get("transforms"),

@@ -186,12 +186,16 @@ class BaseCalvinDataset:
 
 
 class DiskDataset(BaseCalvinDataset):
-    """npz/pkl-per-frame loader (disk_dataset.py:29-160)."""
+    """npz/pkl-per-frame loader (disk_dataset.py:29-160). Pass ``shm_cache``
+    (a data.shm_cache.SharedEpisodeCache) to serve frames zero-copy from
+    shared memory instead of per-frame npz reads (the reference's
+    SharedMemoryLoader fast path)."""
 
     def __init__(self, *args, skip_frames: int = 1, save_format: str = "npz",
-                 pretrain: bool = False, **kwargs):
+                 pretrain: bool = False, shm_cache=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.save_format = save_format
+        self.shm_cache = shm_cache
         if save_format == "pkl":
             self.load_file = lambda p: pickle.load(open(p, "rb"))
         elif save_format == "npz":
@@ -214,14 +218,23 @@ class DiskDataset(BaseCalvinDataset):
         return Path(f"{self.naming_pattern[0]}"
                     f"{file_idx:0{self.n_digits}d}{self.naming_pattern[1]}")
 
+    def _read_stacked(self, start_idx: int, end_idx: int, keys) -> Dict:
+        """Stacked [T, ...] frame data, preferring the shared-memory cache."""
+        if self.shm_cache is not None and all(k in self.shm_cache
+                                              for k in keys):
+            return {k: np.stack([self.shm_cache.episode(i, k)
+                                 for i in range(start_idx, end_idx)])
+                    for k in keys}
+        eps = [self.load_file(self._get_episode_name(i))
+               for i in range(start_idx, end_idx)]
+        return {k: np.stack([ep[k] for ep in eps]) for k in keys}
+
     def _load_episode(self, idx: int, window_size: int):
         start_idx = self.episode_lookup[idx]
         keys = list(chain(*self.observation_space.values()))
         keys.remove("language")
         keys.append("scene_obs")
-        eps = [self.load_file(self._get_episode_name(i))
-               for i in range(start_idx, start_idx + window_size)]
-        episode = {key: np.stack([ep[key] for ep in eps]) for key in keys}
+        episode = self._read_stacked(start_idx, start_idx + window_size, keys)
         if self.with_lang:
             episode["language"] = self.lang_ann[self.lang_lookup[idx]][0]
             episode["language_text"] = self.lang_text[self.lang_lookup[idx]]
@@ -299,11 +312,10 @@ class ExtendedDiskDataset(DiskDataset):
         keys.append("scene_obs")
 
         if not self.use_extracted_rel_actions:
-            eps = [self.load_file(self._get_episode_name(i))
-                   for i in range(start_idx, end_idx)]
+            data = self._read_stacked(start_idx, end_idx, keys)
         else:
-            eps = [self.load_file(self._get_episode_name(i))
-                   for i in range(start_idx, start_idx + self.obs_seq_len)]
+            data = self._read_stacked(start_idx, start_idx + self.obs_seq_len,
+                                      keys)
             ex_indices = [self._ex_name_to_idx[i]
                           for i in range(start_idx, end_idx)]
             ex_actions = self.extracted_ep_rel_actions[ex_indices, :]
@@ -311,7 +323,7 @@ class ExtendedDiskDataset(DiskDataset):
         o = self.obs_seq_len
         episode = {}
         for key in keys:
-            stacked = np.stack([ep[key] for ep in eps])
+            stacked = data[key]
             if key in ("rel_actions", "actions"):
                 if self.use_extracted_rel_actions:
                     episode[key] = ex_actions[(o - 1):(o - 1) + self.action_seq_len, :]

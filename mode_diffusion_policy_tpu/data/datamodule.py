@@ -84,6 +84,7 @@ class CalvinDataModule:
                  act_seq_len: int = 10, obs_seq_len: int = 1,
                  lang_folder: str = "lang_annotations",
                  use_extracted_rel_actions: bool = False,
+                 use_shm_cache: bool = False,
                  lang_embed: Optional[Callable] = None,
                  shuffle_val: bool = False, seed: int = 42,
                  transforms: Optional[Dict] = None,
@@ -97,6 +98,8 @@ class CalvinDataModule:
         self.obs_seq_len = obs_seq_len
         self.lang_folder = lang_folder
         self.use_extracted_rel_actions = use_extracted_rel_actions
+        self.use_shm_cache = use_shm_cache
+        self._shm_caches = []
         self.lang_embed = lang_embed
         self.shuffle_val = shuffle_val
         self.seed = seed
@@ -119,8 +122,24 @@ class CalvinDataModule:
             future_range=1,
             use_extracted_rel_actions=self.use_extracted_rel_actions,
             **self.dataset_kwargs)
-        self.train_dataset = self.dataset_cls(self.training_dir, **common)
-        self.val_dataset = self.dataset_cls(self.val_dir, **common)
+        shm = {"training": None, "validation": None}
+        if self.use_shm_cache:
+            # preload frames into POSIX shared memory once per machine
+            # (the reference's SharedMemoryLoader fast path; ~40x host
+            # item throughput vs per-frame npz reads)
+            from .shm_cache import SharedEpisodeCache
+            keys = ["rgb_static", "rgb_gripper", "robot_obs", "scene_obs",
+                    "rel_actions"]
+            for split, d in (("training", self.training_dir),
+                             ("validation", self.val_dir)):
+                cache = SharedEpisodeCache.build(
+                    d, keys=keys, tag=f"calvin_{split}")
+                shm[split] = cache
+                self._shm_caches.append(cache)
+        self.train_dataset = self.dataset_cls(
+            self.training_dir, shm_cache=shm["training"], **common)
+        self.val_dataset = self.dataset_cls(
+            self.val_dir, shm_cache=shm["validation"], **common)
         logger.info("train examples: %d, val examples: %d",
                     len(self.train_dataset), len(self.val_dataset))
         return self

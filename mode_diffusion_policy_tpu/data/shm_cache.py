@@ -104,10 +104,10 @@ class SharedEpisodeCache:
                           buffer=self._segments[key].buf)
 
     def episode(self, episode_id: int, key: str) -> np.ndarray:
-        ids = self.lookup["episode_ids"]
-        i = ids.index(episode_id) if not isinstance(ids, np.ndarray) else \
-            int(np.searchsorted(ids, episode_id))
-        return self.array(key)[i]
+        if not hasattr(self, "_id_to_idx"):
+            self._id_to_idx = {int(e): i for i, e in
+                               enumerate(self.lookup["episode_ids"])}
+        return self.array(key)[self._id_to_idx[int(episode_id)]]
 
     def __contains__(self, key: str) -> bool:
         return key in self.lookup.get("keys", {})

@@ -194,3 +194,9 @@ def infer_text_config(state_dict: Mapping[str, Any]) -> CLIPTextConfig:
                     if k.startswith("transformer.resblocks.")}),
         embed_dim=state_dict["text_projection"].shape[1],
     )
+
+
+# The reference ships a second wrapper (LangClip2, clip_lang_encoder.py:40-58)
+# that differs only in loading weights through the pip `clip` package; the
+# call surface is identical here.
+LangClip2 = LangClip

@@ -256,3 +256,11 @@ class NoEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, condition=None, *, train: bool = False):
         return x
+
+
+class ResNetTokenEncoderWithFiLM(ResNetEncoderWithFiLM):
+    """Token-output variant of the scratch FiLM ResNet-18 (reference
+    resnets.py:204-304 — identical computation with a smaller projection
+    head; latent_dim defaults to 128 there)."""
+
+    latent_dim: int = 128

@@ -144,3 +144,39 @@ def test_subset_variants(calvin_root):
                                        min_samples_per_task=2, **kw)
     assert 0 < len(bal) <= len(full)
     assert bal[0]["actions"].shape == (10, 7)
+
+
+def test_dataset_with_shm_cache(calvin_root):
+    """shm-backed frame reads produce identical items to npz reads."""
+    from mode_diffusion_policy_tpu.data.shm_cache import SharedEpisodeCache
+    keys = ["rgb_static", "rgb_gripper", "robot_obs", "scene_obs",
+            "rel_actions", "actions"]
+    cache = SharedEpisodeCache.build(calvin_root / "training", keys=keys,
+                                     tag="dstest")
+    try:
+        ds_npz = make_ds(calvin_root)
+        ds_shm = make_ds(calvin_root, shm_cache=cache)
+        for i in (0, 11, 40):
+            a, b = ds_npz[i], ds_shm[i]
+            np.testing.assert_array_equal(a["actions"], b["actions"])
+            np.testing.assert_array_equal(a["rgb_obs"]["rgb_static"],
+                                          b["rgb_obs"]["rgb_static"])
+            np.testing.assert_array_equal(a["robot_obs"], b["robot_obs"])
+    finally:
+        cache.cleanup()
+
+
+def test_datamodule_with_shm_cache(calvin_root):
+    dm = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                          use_shm_cache=True).setup()
+    try:
+        b = next(dm.train_batches())
+        assert b["rgb_static"].shape == (4, 1, 24, 24, 3)
+        # identical to the npz-backed module
+        dm2 = CalvinDataModule(calvin_root, batch_size=4,
+                               act_seq_len=10).setup()
+        b2 = next(dm2.train_batches())
+        np.testing.assert_array_equal(b["actions"], b2["actions"])
+    finally:
+        for c in dm._shm_caches:
+            c.cleanup()
