@@ -46,8 +46,14 @@ def _set_path(tree: Dict, dotted: str, value):
     parts = dotted.split(".")
     node = tree
     for p in parts[:-1]:
-        node = node.setdefault(p, {})
-    node[parts[-1]] = value
+        if isinstance(node, list):
+            node = node[int(p)]
+        else:
+            node = node.setdefault(p, {})
+    if isinstance(node, list):
+        node[int(parts[-1])] = value
+    else:
+        node[parts[-1]] = value
 
 
 def _parse_value(text: str):

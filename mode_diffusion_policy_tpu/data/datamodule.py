@@ -63,8 +63,10 @@ class _Prefetcher:
             try:
                 for item in self._gen_fn():
                     q.put(item)
-            finally:
                 q.put(DONE)
+            except BaseException as e:  # propagate loader failures to the
+                q.put(e)                # training loop instead of silently
+                                        # ending the epoch early
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -72,6 +74,8 @@ class _Prefetcher:
             item = q.get()
             if item is DONE:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

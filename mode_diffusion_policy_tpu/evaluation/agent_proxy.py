@@ -193,6 +193,7 @@ def main(argv=None):
     p.add_argument("--n-layers", type=int, default=12)
     p.add_argument("--resnet-type", default="50")
     p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--clip-checkpoint", default=None)
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -200,8 +201,8 @@ def main(argv=None):
         import jax
         from types import SimpleNamespace
         from ..data.calvin_dataset import DEFAULT_OBS_SPACE, DEFAULT_PROPRIO
+        from ..config.builders import build_lang_clip
         from ..models.agent import RolloutPolicy
-        from ..models.encoders.clip_text import LangClip
         from ..models.encoders.lang_cache import LangEmbeddingCache
         from .evaluate_calvin import build_agent
         ns = SimpleNamespace(
@@ -211,7 +212,7 @@ def main(argv=None):
             n_layers=args.n_layers, resnet_type=args.resnet_type,
             image_size=args.image_size, bf16=False, no_ema=False)
         agent, variables = build_agent(ns)
-        lang = LangClip.initialize_random(jax.random.PRNGKey(0))
+        lang = build_lang_clip(clip_checkpoint=args.clip_checkpoint)
         policy = RolloutPolicy(agent, variables, LangEmbeddingCache(lang))
         return CalvinAgentWrapper(policy, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO,
                                   image_size=args.image_size)

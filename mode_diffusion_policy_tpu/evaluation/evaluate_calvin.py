@@ -59,12 +59,17 @@ def build_agent(args):
             from ..training.optim import make_optimizer as _mo
             opt, _ = _mo(variables["params"], use_lr_scheduler=False)
             state = TrainState.create(variables, opt, jax.random.PRNGKey(0))
-            mgr = CheckpointManager(str(ckpt / "saved_models"
-                                        if (ckpt / "saved_models").exists()
-                                        else ckpt.parent))
-            state = mgr.restore(state)
+            if (ckpt / "saved_models").exists():
+                mgr = CheckpointManager(str(ckpt / "saved_models"))
+                # prefer the best-by-metric checkpoint when one exists
+                state = mgr.restore_best(state)
+            else:
+                # a specific step directory was requested — restore exactly it
+                mgr = CheckpointManager(str(ckpt.parent))
+                state = mgr.restore(state, step=int(ckpt.name))
             variables = state.eval_variables(use_ema=not args.no_ema)
-            logger.info("restored orbax checkpoint from %s", ckpt)
+            logger.info("restored orbax checkpoint from %s (step %d)", ckpt,
+                        int(state.step))
         else:
             # published torch checkpoint (safetensors dir / .ckpt / .pt)
             from ..utils.checkpoint_convert import (convert_modedit,
@@ -132,6 +137,10 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--clip-checkpoint", default=None,
+                   help="OpenAI CLIP state dict for the language tower "
+                        "(random-init tower otherwise; required for "
+                        "meaningful language conditioning)")
     p.add_argument("--log-dir", default="eval_results")
     p.add_argument("--fake-env", action="store_true")
     p.add_argument("--fake-steps-to-success", type=int, default=3)
@@ -142,7 +151,6 @@ def main(argv=None):
     from ..data.calvin_dataset import DEFAULT_OBS_SPACE, DEFAULT_PROPRIO
     from ..evaluation.utils import print_and_save
     from ..models.agent import RolloutPolicy
-    from ..models.encoders.clip_text import LangClip
     from ..models.encoders.lang_cache import LangEmbeddingCache
     from ..rollout.rollout_long_horizon import LongHorizonEvaluator
     from ..rollout.video import RolloutVideo
@@ -151,8 +159,8 @@ def main(argv=None):
     env, oracle = build_env(args, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO)
     val_annotations = load_val_annotations()
 
-    import jax
-    lang = LangClip.initialize_random(jax.random.PRNGKey(0))
+    from ..config.builders import build_lang_clip
+    lang = build_lang_clip(clip_checkpoint=args.clip_checkpoint)
     lang_cache = LangEmbeddingCache(lang)
 
     class PreprocPolicy(RolloutPolicy):

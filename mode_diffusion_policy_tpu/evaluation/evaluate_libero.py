@@ -40,6 +40,7 @@ def main(argv=None):
     p.add_argument("--sigma-max", type=float, default=80.0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--clip-checkpoint", default=None)
     p.add_argument("--log-dir", default="eval_results_libero")
     p.add_argument("--fake-env", action="store_true")
     p.add_argument("--fake-tasks", type=int, default=2)
@@ -52,7 +53,6 @@ def main(argv=None):
     import jax
 
     from ..models.agent import RolloutPolicy
-    from ..models.encoders.clip_text import LangClip
     from ..models.encoders.lang_cache import LangEmbeddingCache
     from ..ops.image import preprocess_camera
     from ..rollout.libero_rollout import (FakeLiberoEnv, LiberoEvaluator,
@@ -61,7 +61,8 @@ def main(argv=None):
     from .evaluate_calvin import build_agent
 
     agent, variables = build_agent(args)
-    lang = LangClip.initialize_random(jax.random.PRNGKey(0))
+    from ..config.builders import build_lang_clip
+    lang = build_lang_clip(clip_checkpoint=args.clip_checkpoint)
     lang_cache = LangEmbeddingCache(lang)
 
     class PreprocPolicy(RolloutPolicy):

@@ -224,13 +224,15 @@ class MoDEAgent:
         return total, (metrics, bs_updates)
 
     def validation_denoise(self, variables, batch: Dict[str, Any], rng):
-        """10-step denoise + MSE (mode_agent.py:442-464)."""
+        """Full inference-schedule denoise + MSE (mode_agent.py:442-464
+        calls denoise_actions(inference=True), which uses
+        num_sampling_steps)."""
         latent_goal = batch["lang_emb"].astype(jnp.float32)
         perceptual_emb, _ = self.embed_visual_obs(
             variables, batch["rgb_static"], batch["rgb_gripper"], latent_goal,
             train=False)
         pred = self.denoise_actions(variables, perceptual_emb, latent_goal,
-                                    rng)
+                                    rng, inference=True)
         mse = jnp.mean((pred - batch["actions"].astype(jnp.float32)) ** 2)
         return pred, {"val_act/lang_act_loss_pp": mse}
 

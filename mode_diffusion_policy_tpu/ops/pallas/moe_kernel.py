@@ -48,7 +48,7 @@ def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
                                              "interpret"))
 def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                    w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
-                   block_tokens: int = 256, block_hidden: int = 512,
+                   block_tokens: int = 256, block_hidden: int = 1024,
                    interpret: bool = False) -> jax.Array:
     """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
     b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype."""

@@ -101,6 +101,7 @@ def zero1_state_sharding(mesh: Mesh, state, *, axis: str = "dp"):
 
     return type(state)(
         step=rep,
+        epoch=rep,
         rng=rep,
         params=jax.tree.map(lambda _: rep, state.params),
         batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),

@@ -50,13 +50,21 @@ def grad_telemetry(grads) -> Dict[str, jax.Array]:
 
 def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
                     *, ema_kwargs: Optional[dict] = None,
-                    log_grad_norms: bool = True) -> Callable:
+                    log_grad_norms: bool = True,
+                    preprocess_fn: Optional[Callable] = None) -> Callable:
     """Pure (state, batch) -> (state, metrics); jit it with sharded batch /
-    replicated state for mesh data parallelism."""
+    replicated state for mesh data parallelism.
+
+    ``preprocess_fn(batch, key) -> batch`` runs inside the jitted step (e.g.
+    uint8 camera frames -> resize/shift/normalize via ops.image) so raw bytes
+    ship to the device once and augmentation fuses with the forward pass."""
     ema_kwargs = ema_kwargs or {}
 
     def train_step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
+        if preprocess_fn is not None:
+            rng, pkey = jax.random.split(rng)
+            batch = preprocess_fn(batch, pkey)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -130,25 +138,54 @@ class CheckpointManager:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        # Two managers, mirroring the reference's dual needs: the main one
+        # keeps the newest checkpoints for auto-resume; 'best/' keeps the
+        # top-1 by the monitored metric (ModelCheckpoint(save_top_k=1,
+        # monitor=eval_lh/avg_seq_len, max), conf/callbacks/calvin.yaml).
         self.manager = ocp.CheckpointManager(
             self.ckpt_dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=save_top_k + 1,
-                best_fn=None,
-                create=True))
+            options=ocp.CheckpointManagerOptions(max_to_keep=save_top_k + 1,
+                                                 create=True))
+        self.best_manager = ocp.CheckpointManager(
+            os.path.join(self.ckpt_dir, "best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True))
+        # persist the best score so auto-resume doesn't overwrite the
+        # historical best with the first post-restart metric
+        self._best_file = os.path.join(self.ckpt_dir, "best_score.json")
         self._best = -np.inf if mode == "max" else np.inf
+        if os.path.exists(self._best_file):
+            with open(self._best_file) as f:
+                self._best = float(json.load(f)["best"])
 
     def save(self, step: int, state: TrainState,
              metrics: Optional[Dict[str, float]] = None):
         import orbax.checkpoint as ocp
+        clean = {k: float(v) for k, v in (metrics or {}).items()
+                 if np.ndim(v) == 0}
         self.manager.save(step, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
-        if metrics and self.monitor in metrics:
-            val = metrics[self.monitor]
+        if clean and self.monitor in clean:
+            val = clean[self.monitor]
             better = val > self._best if self.mode == "max" else val < self._best
             if better:
                 self._best = val
+                self.best_manager.save(step, args=ocp.args.StandardSave(state))
+                self.best_manager.wait_until_finished()
+                with open(self._best_file, "w") as f:
+                    json.dump({"best": val, "step": step,
+                               "monitor": self.monitor}, f)
         return True
+
+    def best_step(self) -> Optional[int]:
+        return self.best_manager.latest_step()
+
+    def restore_best(self, state: TrainState) -> TrainState:
+        import orbax.checkpoint as ocp
+        step = self.best_manager.latest_step()
+        if step is None:
+            return self.restore(state)
+        return self.best_manager.restore(step,
+                                         args=ocp.args.StandardRestore(state))
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -171,8 +208,11 @@ class Trainer:
                  max_epochs: int = 20, limit_train_batches: int = 1000,
                  limit_val_batches: int = 4, rollout_freq: int = 5,
                  optimizer_kwargs: Optional[dict] = None,
+                 ema_kwargs: Optional[dict] = None,
+                 checkpoint_kwargs: Optional[dict] = None,
                  use_wandb: bool = False, mesh=None,
                  rollout_callback: Optional[Callable] = None,
+                 preprocess_fn: Optional[Callable] = None,
                  monitor: str = "eval_lh/avg_seq_len"):
         self.agent = agent
         self.max_epochs = max_epochs
@@ -181,12 +221,17 @@ class Trainer:
         self.rollout_freq = rollout_freq
         self.mesh = mesh if mesh is not None else make_mesh()
         self.logger = MetricLogger(log_dir, use_wandb=use_wandb)
+        ckpt_kwargs = dict(checkpoint_kwargs or {})
+        ckpt_kwargs.setdefault("monitor", monitor)
         self.ckpt = CheckpointManager(os.path.join(log_dir, "saved_models"),
-                                      monitor=monitor)
+                                      **ckpt_kwargs)
         self.rollout_callback = rollout_callback
+        self.preprocess_fn = preprocess_fn
         self.optimizer_kwargs = optimizer_kwargs or {}
+        self.ema_kwargs = ema_kwargs or {}
         self._optimizer = None
         self._train_step = None
+        self.resumed = False
 
     def setup(self, rng=None, image_hw=(224, 224)) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.agent.cfg.seed)
@@ -196,7 +241,9 @@ class Trainer:
             variables["params"], **self.optimizer_kwargs)
         state = TrainState.create(variables, self._optimizer, k_state)
 
-        step_fn = make_train_step(self.agent, self._optimizer)
+        step_fn = make_train_step(self.agent, self._optimizer,
+                                  ema_kwargs=self.ema_kwargs,
+                                  preprocess_fn=self.preprocess_fn)
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
         self._train_step = jax.jit(
@@ -212,6 +259,7 @@ class Trainer:
         if latest is not None:
             logger.info("auto-resuming from checkpoint step %d", latest)
             state = self.ckpt.restore(state)
+            self.resumed = True
         return jax.device_put(state, replicated(self.mesh))
 
     def fit(self, state: TrainState, train_iter_fn: Callable[[], Iterable],
@@ -227,7 +275,7 @@ class Trainer:
                 pass
             return fn()
 
-        start_epoch = int(state.step) // max(self.limit_train_batches, 1)
+        start_epoch = int(jax.device_get(state.epoch))
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             n = 0
@@ -280,6 +328,8 @@ class Trainer:
                 epoch_metrics.update(rollout_metrics)
 
             self.logger.log(epoch_metrics, int(state.step))
+            state = state.replace(
+                epoch=jnp.asarray(epoch + 1, jnp.int32))
             self.ckpt.save(int(state.step), jax.device_get(state),
                            epoch_metrics)
             logger.info("epoch %d done in %.1fs: %s", epoch, dt, epoch_metrics)

@@ -18,6 +18,11 @@ class TrainState:
     opt_state: Any
     ema_params: Any
     rng: jax.Array
+    # completed-epoch counter, advanced host-side by the Trainer so resume
+    # restarts at the right epoch even when epochs yield fewer batches than
+    # limit_train_batches
+    epoch: jax.Array = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @classmethod
     def create(cls, variables, optimizer, rng, ema_dtype=None):
@@ -37,6 +42,7 @@ class TrainState:
             opt_state=optimizer.init(params),
             ema_params=ema,
             rng=rng,
+            epoch=jnp.zeros((), jnp.int32),
         )
 
     def eval_variables(self, use_ema: bool = True):

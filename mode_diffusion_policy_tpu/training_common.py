@@ -1,0 +1,111 @@
+"""Shared helpers for the training entry points (CALVIN + LIBERO).
+
+The camera pipelines are parsed from the datamodule transforms config
+(conf/datamodule/transforms/*.yaml) and executed INSIDE the jitted train step
+(make_train_step(preprocess_fn=...)): raw uint8 frames ship to the device
+once and augmentation fuses with the forward pass. Each camera draws an
+independent shift key per step from the train-step RNG (matching the
+reference's independent per-camera torchvision transforms).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_PIPELINES = {
+    "rgb_static": {"size": 224, "pad": 10},
+    "rgb_gripper": {"size": 224, "pad": 4},
+}
+
+
+def parse_camera_pipelines(transforms_cfg: Optional[Dict]) -> Dict[str, Dict]:
+    """{'rgb_static': {'size', 'pad'}, ...} from the (train) transform specs."""
+    out = {k: dict(v) for k, v in DEFAULT_PIPELINES.items()}
+    train = (transforms_cfg or {}).get("train", {})
+    for cam in out:
+        for spec in train.get(cam, []):
+            target = str(spec.get("_target_", ""))
+            if target.endswith("Resize"):
+                out[cam]["size"] = int(spec.get("size", out[cam]["size"]))
+            elif target.endswith("RandomShiftsAug"):
+                out[cam]["pad"] = int(spec.get("pad", out[cam]["pad"]))
+    return out
+
+
+def make_train_preprocess(pipelines: Dict[str, Dict]) -> Callable:
+    """In-jit preprocess_fn(batch, key): uint8 -> augmented normalized
+    float, independent shift keys per camera."""
+    from .ops.image import preprocess_camera
+
+    def preprocess(batch, key):
+        out = dict(batch)
+        for i, cam in enumerate(("rgb_static", "rgb_gripper")):
+            cam_key = jax.random.fold_in(key, i)
+            p = pipelines[cam]
+            out[cam] = preprocess_camera(cam_key, batch[cam], size=p["size"],
+                                         shift_pad=p["pad"], train=True)
+        return out
+
+    return preprocess
+
+
+def make_data_iters(datamodule, pipelines: Dict[str, Dict]):
+    """(train_iter, val_iter): train batches stay raw uint8 (preprocessing is
+    fused into the jitted step); validation batches are preprocessed eagerly
+    in eval mode (no augmentation, 4 batches/epoch)."""
+    import jax.numpy as jnp
+
+    from .ops.image import preprocess_camera
+
+    keep = ("rgb_static", "rgb_gripper", "actions", "lang_emb")
+
+    def train_iter(epoch=0):
+        for batch in datamodule.train_batches(epoch):
+            yield {k: batch[k] for k in keep}
+
+    def val_iter(epoch=0):
+        for batch in datamodule.val_batches():
+            out = {k: batch[k] for k in keep}
+            for cam in ("rgb_static", "rgb_gripper"):
+                out[cam] = np.asarray(preprocess_camera(
+                    None, jnp.asarray(out[cam]), size=pipelines[cam]["size"],
+                    shift_pad=0, train=False))
+            yield out
+
+    return train_iter, val_iter
+
+
+def load_pretrained_into_state(state, cfg: Dict, logger=logger):
+    """start_from_pretrained: convert reference torch weights into the fresh
+    state (initialize_pretrained_weights, utils/utils.py:31-42). Returns the
+    updated state."""
+    import jax.numpy as jnp
+
+    from .utils.checkpoint_convert import (convert_film_resnet,
+                                           convert_modedit, detect_layout,
+                                           load_torch_checkpoint,
+                                           normalize_state_dict)
+    ckpt_path = cfg.get("model", {}).get("ckpt_path")
+    sd = normalize_state_dict(load_torch_checkpoint(str(ckpt_path)))
+    n_layers, n_experts, prefix = detect_layout(sd)
+    params = dict(state.params)
+    params["inner_model"] = convert_modedit(sd, n_layers, n_experts, prefix)
+    batch_stats = dict(state.batch_stats)
+    for enc in ("static_resnet", "gripper_resnet"):
+        try:
+            conv = convert_film_resnet(
+                sd, depth=int(cfg["model"].get("resnet_type", "50")),
+                prefix=f"{enc}.")
+            params[enc] = conv["params"]
+            batch_stats[enc] = conv["batch_stats"]
+        except KeyError:
+            logger.warning("no %s weights in pretrained checkpoint", enc)
+    logger.info("initialized from pretrained %s (layers=%d, experts=%d)",
+                ckpt_path, n_layers, n_experts)
+    return state.replace(params=params, batch_stats=batch_stats,
+                         ema_params=jax.tree.map(jnp.copy, params))

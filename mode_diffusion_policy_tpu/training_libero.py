@@ -1,8 +1,9 @@
 """LIBERO training entry point.
 
 The reference mode/training_libero.py is a byte-identical clone of
-training_calvin.py pointed at config_libero (training_libero.py:59); here the
-same factoring: reuse the CALVIN train() with the LIBERO config + datamodule.
+training_calvin.py pointed at config_libero (training_libero.py:59); here
+the shared machinery lives in training_common and only the datamodule +
+config name differ.
 
 Usage:
     python -m mode_diffusion_policy_tpu.training_libero \
@@ -22,13 +23,15 @@ CONF_DIR = Path(__file__).resolve().parents[1] / "conf"
 def train(cfg: dict):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from .config.builders import (build_agent, build_lang_clip,
+    from .config.builders import (build_agent, build_checkpoint_cfg,
+                                  build_ema_cfg, build_lang_clip,
                                   build_libero_datamodule)
     from .models.encoders.lang_cache import LangEmbeddingCache
-    from .ops.image import preprocess_camera
     from .training.loop import Trainer
+    from .training_common import (load_pretrained_into_state,
+                                  make_data_iters, make_train_preprocess,
+                                  parse_camera_pipelines)
     from .utils.utils import log_environment_info
 
     log_environment_info(logger)
@@ -43,8 +46,10 @@ def train(cfg: dict):
     lang_cache = LangEmbeddingCache(lang)
     datamodule = build_libero_datamodule(cfg["datamodule"],
                                          lang_embed=lang_cache).setup()
+    pipelines = parse_camera_pipelines(cfg["datamodule"].get("transforms"))
 
     trainer_cfg = cfg.get("trainer", {})
+    callbacks_cfg = cfg.get("callbacks", {})
     trainer = Trainer(
         agent,
         log_dir=str(Path(cfg.get("log_dir", "runs"))
@@ -52,36 +57,26 @@ def train(cfg: dict):
         max_epochs=int(trainer_cfg.get("max_epochs", 20)),
         limit_train_batches=int(trainer_cfg.get("limit_train_batches", 1000)),
         limit_val_batches=int(trainer_cfg.get("limit_val_batches", 4)),
-        rollout_freq=int(cfg.get("callbacks", {}).get("rollout_lh", {})
+        rollout_freq=int(callbacks_cfg.get("rollout_lh", {})
                          .get("rollout_freq", 5)),
         optimizer_kwargs=optimizer_kwargs,
+        ema_kwargs=build_ema_cfg(**callbacks_cfg.get("ema", {})),
+        checkpoint_kwargs=build_checkpoint_cfg(
+            **callbacks_cfg.get("checkpoint", {})),
         use_wandb=bool(cfg.get("logger", {}).get("use_wandb", False)),
-        monitor=cfg.get("callbacks", {}).get("checkpoint", {}).get(
+        preprocess_fn=make_train_preprocess(pipelines),
+        monitor=callbacks_cfg.get("checkpoint", {}).get(
             "monitor", "eval/avg_success_rate"))
 
-    image_hw = (224, 224)
+    image_hw = (pipelines["rgb_static"]["size"],
+                pipelines["rgb_static"]["size"])
     state = trainer.setup(jax.random.PRNGKey(seed), image_hw=image_hw)
+    if (cfg.get("model", {}).get("start_from_pretrained")
+            and cfg.get("model", {}).get("ckpt_path")
+            and not trainer.resumed):
+        state = load_pretrained_into_state(state, cfg, logger)
 
-    def _device_ready(batch, train: bool):
-        out = {k: batch[k] for k in
-               ("rgb_static", "rgb_gripper", "actions", "lang_emb")}
-        key = jax.random.PRNGKey(seed + int(np.sum(batch["idx"]) % 65536))
-        out["rgb_static"] = np.asarray(preprocess_camera(
-            key, jnp.asarray(out["rgb_static"]), size=image_hw[0],
-            shift_pad=10, train=train))
-        out["rgb_gripper"] = np.asarray(preprocess_camera(
-            key, jnp.asarray(out["rgb_gripper"]), size=image_hw[0],
-            shift_pad=4, train=train))
-        return out
-
-    def train_iter(epoch=0):
-        for batch in datamodule.train_batches(epoch):
-            yield _device_ready(batch, train=True)
-
-    def val_iter(epoch=0):
-        for batch in datamodule.val_batches():
-            yield _device_ready(batch, train=False)
-
+    train_iter, val_iter = make_data_iters(datamodule, pipelines)
     try:
         state = trainer.fit(state, train_iter, val_iter)
     finally:

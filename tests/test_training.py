@@ -211,3 +211,20 @@ def test_zero1_optimizer_state_sharding(tiny_setup):
                       if hasattr(x, "sharding")
                       and x.sharding.spec == ("dp",)]
     assert sharded_leaves, "no optimizer leaves actually sharded"
+
+
+def test_checkpoint_manager_best_tracking(tmp_path, tiny_setup):
+    from mode_diffusion_policy_tpu.training.loop import CheckpointManager
+    cfg, agent, variables = tiny_setup
+    import optax
+    opt = optax.sgd(1e-3)
+    state = TrainState.create(variables, opt, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="m", mode="max",
+                            save_top_k=1)
+    mgr.save(1, state, {"m": 0.5})
+    mgr.save(2, state, {"m": 0.9})
+    mgr.save(3, state, {"m": 0.2})
+    assert mgr.best_step() == 2
+    assert mgr.latest_step() == 3
+    restored = mgr.restore(state)  # latest by default (auto-resume)
+    assert int(restored.step) == int(state.step)
