@@ -53,8 +53,17 @@ def main():
                               "BENCH_PALLAS", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
-    variables = agent.init_variables(jax.random.PRNGKey(0),
-                                     image_hw=(IMG, IMG))
+    if os.environ.get("BENCH_REAL_INIT", "0") == "1":
+        variables = agent.init_variables(jax.random.PRNGKey(0),
+                                         image_hw=(IMG, IMG))
+    else:
+        # throughput is data-independent on TPU; shape-only init skips ~3 min
+        # of on-device random initialization through the tunnel
+        shapes = jax.eval_shape(
+            lambda k: agent.init_variables(k, image_hw=(IMG, IMG)),
+            jax.random.PRNGKey(0))
+        variables = jax.tree.map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     log(f"init: {n_params/1e6:.0f}M params in {time.time()-t0:.1f}s")
 

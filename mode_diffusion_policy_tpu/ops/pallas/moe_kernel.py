@@ -104,3 +104,98 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
       xf, w1, w1, b1[:, None, :], b1[:, None, :], w2)
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only variant: halves the HBM weight traffic that bounds small-
+# batch latency. Per-output-channel scales factor out of the matmul, so the
+# kernel multiplies by a scale row AFTER each MXU dot (see ops/quant.py).
+# ---------------------------------------------------------------------------
+
+def _kernel_q8(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
+               b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref):
+    e = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(e == 0, k == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = x_ref[:]
+    dt = x.dtype
+    value = jnp.dot(x, w1v_ref[0].astype(dt),
+                    preferred_element_type=jnp.float32)
+    value = value * s1v_ref[0, 0] + b1v_ref[0, 0].astype(jnp.float32)
+    gate = jnp.dot(x, w1g_ref[0].astype(dt),
+                   preferred_element_type=jnp.float32)
+    gate = gate * s1g_ref[0, 0] + b1g_ref[0, 0].astype(jnp.float32)
+    act = (value * jax.nn.silu(gate)).astype(dt)
+    contrib = jnp.dot(act, w2_ref[0].astype(dt),
+                      preferred_element_type=jnp.float32)
+    contrib = contrib * s2_ref[0, 0]
+    p = probs_ref[e].astype(jnp.float32)
+    out_ref[:] += p * contrib
+
+
+@functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
+                                             "interpret"))
+def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
+                      top2_probs: jax.Array, q, *,
+                      block_tokens: int = 256, block_hidden: int = 1024,
+                      interpret: bool = False) -> jax.Array:
+    """int8-weight variant of fused_top2_mlp; ``q`` is ops.quant.
+    QuantizedExperts. Activations stay in x.dtype."""
+    B, T, D = x.shape
+    E, _, H2 = q.w1_q.shape
+    H = H2 // 2
+    N = B * T
+    xf = x.reshape(N, D)
+    TM = min(block_tokens, max(8, N))
+    pad = (-N) % TM
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    Np = N + pad
+    TH = min(block_hidden, H)
+    assert H % TH == 0, (H, TH)
+    n_tok = Np // TM
+    n_h = H // TH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tok, 2, n_h),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, TH, D),
+                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, e, k, idx, probs: (idx[e], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_q8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * D * (3 * H) * 2,
+            bytes_accessed=2 * (D * H2 + H * D)
+            + Np * D * (x.dtype.itemsize + 4),
+            transcendentals=Np * H * 2,
+        ),
+    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+      xf, q.w1_q, q.w1_q, q.w1_s[:, None, :], q.w1_s[:, None, :],
+      q.b1[:, None, :], q.b1[:, None, :], q.w2_q, q.w2_s[:, None, :])
+    out = out[:N].astype(x.dtype)
+    return out.reshape(B, T, D)

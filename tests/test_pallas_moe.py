@@ -60,3 +60,37 @@ def test_fused_top2_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), atol=2e-2,
                                rtol=2e-2)
+
+
+def test_quantized_experts_roundtrip():
+    from mode_diffusion_policy_tpu.ops.quant import (dequantize_experts,
+                                                     quantize_experts)
+    w1, b1, w2 = make_weights(D=128, H=256)
+    q = quantize_experts(w1, b1, w2)
+    assert q.w1_q.dtype == jnp.int8 and q.w2_q.dtype == jnp.int8
+    w1_d, b1_d, w2_d = dequantize_experts(q)
+    # per-channel int8: reconstruction within ~1% of weight scale
+    scale = float(jnp.abs(w1).max())
+    assert float(jnp.abs(w1_d - w1).max()) < scale * 0.01
+
+
+def test_fused_top2_q8_matches_dequantized_reference():
+    from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import fused_top2_mlp_q8
+    from mode_diffusion_policy_tpu.ops.quant import (dequantize_experts,
+                                                     quantize_experts)
+    D, H = 128, 256
+    w1, b1, w2 = make_weights(D=D, H=H)
+    q = quantize_experts(w1, b1, w2)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 14, D))
+    idx = jnp.asarray([1, 2], jnp.int32)
+    probs = jnp.asarray([0.7, 0.3], jnp.float32)
+    got = fused_top2_mlp_q8(x, idx, probs, q, block_tokens=16,
+                            block_hidden=128, interpret=True)
+    w1_d, b1_d, w2_d = dequantize_experts(q)
+    want = moe_ffn_top2_gather(x, idx, probs, w1_d, b1_d, w2_d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4,
+                               rtol=1e-3)
+    # and close to the unquantized fp computation (weight-only int8 error)
+    full = moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
+    rel = float(jnp.abs(got - full).max() / (jnp.abs(full).std() + 1e-9))
+    assert rel < 0.1, rel
