@@ -159,3 +159,18 @@ def get_all_checkpoints(experiment_folder: Path) -> List[Path]:
 def get_last_checkpoint(experiment_folder: Path):
     ckpts = get_all_checkpoints(experiment_folder)
     return ckpts[-1] if ckpts else None
+
+
+class LangEmbeddings:
+    """Lookup of precomputed language-goal embeddings from the dataset's
+    ``<lang_folder>/embeddings.npy`` (reference evaluation/utils.py:248-256):
+    maps an annotation string to its stored embedding for rollout goals."""
+
+    def __init__(self, val_dataset_path, lang_folder: str = "lang_annotations"):
+        from pathlib import Path
+        path = Path(val_dataset_path) / lang_folder / "embeddings.npy"
+        self.lang_embeddings = np.load(path, allow_pickle=True).reshape(-1)[0]
+
+    def get_lang_goal(self, task: str):
+        return {"lang": np.asarray(self.lang_embeddings[task]["emb"],
+                                   np.float32).squeeze()}

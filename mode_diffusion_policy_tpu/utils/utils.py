@@ -73,3 +73,24 @@ def device_memory_stats() -> dict:
         "mem/peak_bytes_in_use_gib": stats.get("peak_bytes_in_use", 0) / gib,
         "mem/bytes_limit_gib": stats.get("bytes_limit", 0) / gib,
     }
+
+
+def add_text_overlay(img: np.ndarray, text: str,
+                     color=(255, 255, 255)) -> np.ndarray:
+    """Burn an instruction string into a frame (reference utils.py:161-186)."""
+    import cv2
+    img = np.ascontiguousarray(img)
+    h = img.shape[0]
+    cv2.putText(img, text, (5, h - 8), cv2.FONT_HERSHEY_SIMPLEX,
+                max(0.3, h / 500.0), color, 1, cv2.LINE_AA)
+    return img
+
+
+def format_sftp_path(path) -> "Path":
+    """Rewrite sftp://host/... paths to local mounts
+    (reference utils.py:189-196)."""
+    from pathlib import Path
+    path = str(path)
+    if path.startswith("sftp://"):
+        path = "/" + path.split("/", 3)[-1]
+    return Path(path)
