@@ -1,0 +1,24 @@
+# Common targets. See CLAUDE.md for environment notes.
+
+.PHONY: ext test test-fast bench bench-train entry clean
+
+ext:
+	python setup.py build_ext --inplace
+
+test: ext
+	python -m pytest tests/ -q
+
+test-fast: ext
+	python -m pytest tests/ -x -q -k "not parity"
+
+bench:
+	python bench.py
+
+bench-train:
+	python bench_train.py
+
+entry:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py
+
+clean:
+	rm -rf build mode_diffusion_policy_tpu/native/*.so __pycache__
