@@ -11,8 +11,10 @@ import pytest
 def _ensure_built():
     from mode_diffusion_policy_tpu.utils import hashing
     if not hashing.HAVE_NATIVE:
+        import pathlib
+        repo_root = pathlib.Path(__file__).resolve().parents[1]
         subprocess.run([sys.executable, "setup.py", "build_ext", "--inplace"],
-                       cwd="/root/repo", capture_output=True, timeout=300)
+                       cwd=repo_root, capture_output=True, timeout=300)
         import importlib
         importlib.reload(hashing)
     return hashing
