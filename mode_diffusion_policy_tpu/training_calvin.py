@@ -53,17 +53,13 @@ def train(cfg: dict):
                                          lang_embed=lang_cache).setup()
     pipelines = parse_camera_pipelines(cfg["datamodule"].get("transforms"))
 
-    # optional in-training rollout (requires calvin_env; skipped otherwise)
-    rollout_callback = None
-    rollout_cfg = cfg.get("callbacks", {}).get("rollout_lh", {})
-    try:
-        import calvin_env  # noqa: F401
-        from .rollout.rollout_long_horizon import make_rollout_callback  # noqa: F401
-        logger.info("calvin_env found — wire rollout via evaluate_calvin "
-                    "utilities if desired")
-    except ImportError:
-        logger.info("calvin_env unavailable; in-training rollouts disabled "
-                    "(validation MSE + checkpoints still run)")
+    # optional in-training rollout: real calvin_env when installed, the
+    # fake env when callbacks.rollout_lh.fake_env=true, else disabled
+    from .training_common import build_calvin_rollout_callback
+    rollout_cfg = dict(cfg.get("callbacks", {}).get("rollout_lh", {}))
+    rollout_cfg.setdefault("dataset_path", cfg.get("root_data_dir"))
+    rollout_callback = build_calvin_rollout_callback(rollout_cfg, lang_cache,
+                                                     pipelines)
 
     trainer_cfg = cfg.get("trainer", {})
     callbacks_cfg = cfg.get("callbacks", {})

@@ -109,3 +109,69 @@ def load_pretrained_into_state(state, cfg: Dict, logger=logger):
                 ckpt_path, n_layers, n_experts)
     return state.replace(params=params, batch_stats=batch_stats,
                          ema_params=jax.tree.map(jnp.copy, params))
+
+
+def build_calvin_rollout_callback(rollout_cfg: Dict, lang_cache,
+                                  pipelines: Dict[str, Dict]):
+    """In-training long-horizon rollout hook (the reference's
+    RolloutLongHorizon callback wiring, training_calvin.py:92-114): real
+    calvin_env when installed, the scripted fake env when
+    ``callbacks.rollout_lh.fake_env`` is set (hermetic testing), else None.
+    """
+    import jax.numpy as jnp
+
+    from .data.calvin_dataset import DEFAULT_OBS_SPACE, DEFAULT_PROPRIO
+    from .models.agent import RolloutPolicy
+    from .ops.image import preprocess_camera
+    from .rollout.env import CalvinEnvWrapper, FakeCalvinEnv
+    from .rollout.rollout_long_horizon import make_rollout_callback
+
+    val_annotations = rollout_cfg.get("val_annotations")
+    if not val_annotations:
+        from .evaluation.evaluate_calvin import load_val_annotations
+        val_annotations = load_val_annotations()
+
+    if rollout_cfg.get("fake_env"):
+        from .rollout.multistep_sequences import tasks as all_tasks
+        raw = FakeCalvinEnv(
+            hw=int(rollout_cfg.get("fake_hw", 24)),
+            solvable_tasks=set(all_tasks.keys()),
+            steps_to_success=int(rollout_cfg.get("fake_steps_to_success", 2)))
+        env = CalvinEnvWrapper(raw, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO)
+        oracle = raw.make_oracle()
+    else:
+        try:
+            import yaml
+            from pathlib import Path
+            from calvin_env.envs.play_table_env import get_env
+            from calvin_env.envs.tasks import Tasks
+            env_raw = get_env(
+                Path(rollout_cfg["dataset_path"]) / "validation",
+                show_gui=False)
+            env = CalvinEnvWrapper(env_raw, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO)
+            tasks_yaml = (Path(__file__).resolve().parents[1] / "conf"
+                          / "callbacks" / "rollout_lh" / "tasks"
+                          / "new_playtable_tasks.yaml")
+            with open(tasks_yaml) as f:
+                oracle = Tasks(yaml.safe_load(f)["tasks"])
+        except (ImportError, KeyError, TypeError) as e:
+            logger.info("in-training rollouts disabled (%s)", e)
+            return None
+
+    def make_policy(agent, variables):
+        class PreprocPolicy(RolloutPolicy):
+            def step(self, obs, goal):
+                if self._counter % self.multistep == 0:
+                    obs = dict(obs)
+                    for cam in ("rgb_static", "rgb_gripper"):
+                        obs[cam] = np.asarray(preprocess_camera(
+                            None, jnp.asarray(obs["rgb_obs"][cam]),
+                            size=pipelines[cam]["size"], train=False))
+                return super().step(obs, goal)
+
+        return PreprocPolicy(agent, variables, lang_cache)
+
+    return make_rollout_callback(
+        env, oracle, val_annotations, make_policy,
+        num_sequences=int(rollout_cfg.get("num_sequences", 1000)),
+        ep_len=int(rollout_cfg.get("ep_len", 360)))

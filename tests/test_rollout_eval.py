@@ -194,3 +194,41 @@ def test_evaluate_cli_fake_env(tmp_path):
         "--fake-steps-to-success", "2"])
     assert "avg_seq_len" in ranking
     assert (tmp_path / "results.json").exists()
+
+
+def test_in_training_rollout_callback_fake_env():
+    """training_calvin's rollout_lh wiring end-to-end over the fake env:
+    the callback must return eval_lh/* metrics the Trainer can rank on."""
+    import jax
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.training_common import (
+        build_calvin_rollout_callback)
+    cfg = MoDEAgentConfig(latent_dim=32, n_layers=1, n_heads=2, cond_dim=8,
+                          resnet_type="18", multistep=2, act_window_size=10)
+    agent = MoDEAgent(cfg)
+    variables = agent.init_variables(jax.random.PRNGKey(0), image_hw=(16, 16))
+
+    def lang(texts):
+        return np.zeros((len(texts), 1, cfg.cond_dim), np.float32)
+
+    pipelines = {"rgb_static": {"size": 16, "pad": 2},
+                 "rgb_gripper": {"size": 16, "pad": 2}}
+    cb = build_calvin_rollout_callback(
+        {"fake_env": True, "fake_hw": 24, "fake_steps_to_success": 1,
+         "num_sequences": 2, "ep_len": 4}, lang, pipelines)
+    metrics = cb(agent, variables, 0)
+    assert "eval_lh/avg_seq_len" in metrics
+    assert "eval_lh/sr_chain_1" in metrics
+    assert 0.0 <= metrics["eval_lh/sr_chain_1"] <= 1.0
+
+
+def test_in_training_rollout_callback_disabled_without_env():
+    """No fake_env and no calvin_env installed -> callback is None (training
+    proceeds with validation MSE only)."""
+    from mode_diffusion_policy_tpu.training_common import (
+        build_calvin_rollout_callback)
+    assert build_calvin_rollout_callback(
+        {"dataset_path": None}, lambda t: None,
+        {"rgb_static": {"size": 16, "pad": 2},
+         "rgb_gripper": {"size": 16, "pad": 2}}) is None
