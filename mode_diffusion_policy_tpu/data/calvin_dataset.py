@@ -295,8 +295,11 @@ class ExtendedDiskDataset(DiskDataset):
             if not os.path.exists(extracted_dir):
                 self.extracted_dir = os.path.join(self.abs_datasets_dir,
                                                   "extracted")
-                assert os.path.exists(self.extracted_dir), \
-                    "extracted dir not found!"
+                assert os.path.exists(self.extracted_dir), (
+                    f"extracted dir not found at {self.extracted_dir} — run "
+                    "python -m mode_diffusion_policy_tpu.data.preprocess "
+                    "--in-root <split dir> first, or set "
+                    "use_extracted_rel_actions=false")
             with open(os.path.join(self.extracted_dir,
                                    "ep_npz_names.list")) as f:
                 names = [int(x.strip()) for x in f.readlines()]

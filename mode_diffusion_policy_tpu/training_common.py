@@ -175,3 +175,79 @@ def build_calvin_rollout_callback(rollout_cfg: Dict, lang_cache,
         env, oracle, val_annotations, make_policy,
         num_sequences=int(rollout_cfg.get("num_sequences", 1000)),
         ep_len=int(rollout_cfg.get("ep_len", 360)))
+
+
+def build_libero_rollout_callback(rollout_cfg: Dict, lang_cache,
+                                  pipelines: Dict[str, Dict]):
+    """In-training LIBERO rollout hook (the reference's RolloutLibero
+    callback, conf/callbacks/libero.yaml rollout_lh + libero_rollout.py):
+    real LIBERO benchmark when installed, scripted FakeLiberoEnv when
+    ``callbacks.rollout_lh.fake_env`` is set, else None. Envs are created
+    per rollout and closed after, so no simulator state leaks across epochs.
+    """
+    import jax.numpy as jnp
+
+    from .models.agent import RolloutPolicy
+    from .ops.image import preprocess_camera
+    from .rollout.libero_rollout import (FakeLiberoEnv, LiberoEvaluator,
+                                         make_libero_env)
+
+    fake = bool(rollout_cfg.get("fake_env"))
+    if not fake:
+        try:
+            import libero.libero.benchmark  # noqa: F401
+        except ImportError as e:
+            logger.info("in-training LIBERO rollouts disabled (%s)", e)
+            return None
+
+    size = pipelines["rgb_static"]["size"]
+
+    def make_tasks():
+        if fake:
+            return [(f"fake task {i}",
+                     FakeLiberoEnv(
+                         hw=int(rollout_cfg.get("fake_hw", 24)),
+                         steps_to_success=int(
+                             rollout_cfg.get("fake_steps_to_success", 4))),
+                     None)
+                    for i in range(int(rollout_cfg.get("fake_tasks", 2)))]
+        import os
+        from libero.libero import get_libero_path
+        from libero.libero.benchmark import get_benchmark
+        bench = get_benchmark(rollout_cfg["benchmark_name"])()
+        bddl_base = get_libero_path("bddl_files")
+        tasks = []
+        for i in range(bench.n_tasks):
+            task = bench.get_task(i)
+            env = make_libero_env(
+                os.path.join(bddl_base, task.problem_folder, task.bddl_file),
+                size, size)
+            tasks.append((task.language, env, bench.get_task_init_states(i)))
+        return tasks
+
+    def callback(agent, variables, epoch):
+        class PreprocPolicy(RolloutPolicy):
+            def step(self, obs, goal):
+                if self._counter % self.multistep == 0:
+                    obs = dict(obs)
+                    for cam in ("rgb_static", "rgb_gripper"):
+                        obs[cam] = np.asarray(preprocess_camera(
+                            None, jnp.asarray(obs["rgb_obs"][cam]),
+                            size=size, train=False))
+                return super().step(obs, goal)
+
+        policy = PreprocPolicy(agent, variables, lang_cache)
+        evaluator = LiberoEvaluator(
+            n_eval=int(rollout_cfg.get("n_eval", 20)),
+            max_steps=int(rollout_cfg.get("max_steps", 520)))
+        names, rates = [], []
+        for desc, env, init_states in make_tasks():
+            try:
+                rates.append(evaluator.evaluate_task(policy, env, desc,
+                                                     init_states))
+                names.append(desc)
+            finally:
+                env.close()
+        return evaluator.metrics(evaluator.gather_success_rates(rates), names)
+
+    return callback

@@ -48,6 +48,14 @@ def train(cfg: dict):
                                          lang_embed=lang_cache).setup()
     pipelines = parse_camera_pipelines(cfg["datamodule"].get("transforms"))
 
+    # in-training LIBERO rollouts: real benchmark when libero is installed,
+    # fake envs when callbacks.rollout_lh.fake_env=true, else disabled
+    from .training_common import build_libero_rollout_callback
+    rollout_cfg = dict(cfg.get("callbacks", {}).get("rollout_lh", {}))
+    rollout_cfg.setdefault("benchmark_name", cfg.get("libero_benchmark"))
+    rollout_callback = build_libero_rollout_callback(rollout_cfg, lang_cache,
+                                                     pipelines)
+
     trainer_cfg = cfg.get("trainer", {})
     callbacks_cfg = cfg.get("callbacks", {})
     trainer = Trainer(
@@ -65,6 +73,7 @@ def train(cfg: dict):
             **callbacks_cfg.get("checkpoint", {})),
         use_wandb=bool(cfg.get("logger", {}).get("use_wandb", False)),
         preprocess_fn=make_train_preprocess(pipelines),
+        rollout_callback=rollout_callback,
         monitor=callbacks_cfg.get("checkpoint", {}).get(
             "monitor", "eval/avg_success_rate"))
 

@@ -147,3 +147,39 @@ def test_evaluate_libero_cli(tmp_path):
         "--log-dir", str(tmp_path), "--fake-steps-to-success", "3"])
     assert metrics["eval/avg_success_rate"] == 1.0
     assert (tmp_path / "results_libero.json").exists()
+
+
+def test_in_training_libero_rollout_callback_fake_env():
+    """training_libero's rollout wiring end-to-end over FakeLiberoEnv:
+    callback returns eval/avg_success_rate the Trainer ranks on."""
+    import jax
+    import numpy as np
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.training_common import (
+        build_libero_rollout_callback)
+    cfg = MoDEAgentConfig(latent_dim=32, n_layers=1, n_heads=2, cond_dim=8,
+                          resnet_type="18", multistep=2, act_window_size=10)
+    agent = MoDEAgent(cfg)
+    variables = agent.init_variables(jax.random.PRNGKey(0), image_hw=(16, 16))
+
+    def lang(texts):
+        return np.zeros((len(texts), 1, cfg.cond_dim), np.float32)
+
+    cb = build_libero_rollout_callback(
+        {"fake_env": True, "fake_hw": 24, "fake_tasks": 2,
+         "fake_steps_to_success": 1, "n_eval": 2, "max_steps": 4},
+        lang, {"rgb_static": {"size": 16, "pad": 2},
+               "rgb_gripper": {"size": 16, "pad": 2}})
+    metrics = cb(agent, variables, 0)
+    assert "eval/avg_success_rate" in metrics
+    assert 0.0 <= metrics["eval/avg_success_rate"] <= 1.0
+
+
+def test_in_training_libero_rollout_disabled_without_libero():
+    from mode_diffusion_policy_tpu.training_common import (
+        build_libero_rollout_callback)
+    assert build_libero_rollout_callback(
+        {"benchmark_name": "libero_10"}, lambda t: None,
+        {"rgb_static": {"size": 16, "pad": 2},
+         "rgb_gripper": {"size": 16, "pad": 2}}) is None
