@@ -32,6 +32,9 @@ def resize_images(x: jax.Array, size: int, *, antialias: bool = True,
     inputs)."""
     batch_shape = x.shape[:-3]
     C = x.shape[-1]
+    if x.shape[-3] == size and x.shape[-2] == size:
+        # same-size bilinear resize is the identity; skip the gather kernel
+        return x.astype(jnp.float32)
     out_shape = batch_shape + (size, size, C)
     return jax.image.resize(x.astype(jnp.float32), out_shape, method=method,
                             antialias=antialias)
