@@ -50,7 +50,14 @@ def main():
                           # Pallas fused top-2 kernel: ~1.6x the XLA gather
                           # path at b=1 (46 vs 74 us/layer), ~par at b=128
                           use_pallas_moe=os.environ.get(
-                              "BENCH_PALLAS", "1") == "1")
+                              "BENCH_PALLAS", "1") == "1",
+                          # int8 x int8 MoE compute (weights quantized once
+                          # into the "quant" collection): 1627 vs 1289
+                          # chunks/s; e2e action MAE vs bf16 is 6e-5 (20x
+                          # under the 1e-3 parity budget). BENCH_INT8=0
+                          # reverts to pure bf16.
+                          use_int8_moe=os.environ.get(
+                              "BENCH_INT8", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     if os.environ.get("BENCH_REAL_INIT", "0") == "1":

@@ -28,6 +28,15 @@ from .modedit import (MoDeDiT, MoDeDiTConfig, load_balancing_loss,
 from .encoders.resnet import FiLMResNetPolicy, ResNetEncoderWithFiLM
 from .edm.precond import denoiser_forward, denoiser_loss
 from .edm.schedules import get_noise_schedule
+
+
+def _dit_vars(variables):
+    """DiT apply collections: params plus the optional int8 quant weights
+    (present only when MoDeDiTConfig.use_int8_moe built them)."""
+    out = {"params": variables["params"]["inner_model"]}
+    if "quant" in variables:
+        out["quant"] = variables["quant"]["inner_model"]
+    return out
 from .edm.densities import make_sample_density
 from .edm.samplers import sample_loop
 
@@ -61,6 +70,7 @@ class MoDEAgentConfig:
     seed: int = 42
     dtype: Any = jnp.float32
     use_pallas_moe: bool = False
+    use_int8_moe: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -76,7 +86,8 @@ class MoDEAgentConfig:
             action_seq_len=self.act_window_size,
             use_proprio=self.use_proprio, num_experts=self.num_experts,
             top_k=self.top_k, dtype=self.dtype,
-            use_pallas_moe=self.use_pallas_moe)
+            use_pallas_moe=self.use_pallas_moe,
+            use_int8_moe=self.use_int8_moe)
 
 
 class MoDEAgent:
@@ -125,7 +136,7 @@ class MoDEAgent:
         cond = jnp.zeros((B, cfg.cond_dim))
         sr = self.static_resnet.init({"params": k2}, img, cond, train=False)
         gr = self.gripper_resnet.init({"params": k3}, img, cond, train=False)
-        return {
+        out = {
             "params": {
                 "inner_model": dit_vars["params"],
                 "static_resnet": sr["params"],
@@ -136,6 +147,22 @@ class MoDEAgent:
                 "gripper_resnet": gr.get("batch_stats", {}),
             },
         }
+        if "quant" in dit_vars:
+            out["quant"] = {"inner_model": dit_vars["quant"]}
+        return out
+
+    def quantize_for_inference(self, variables):
+        """(Re)build the int8 "quant" collection from the current fp32
+        expert params — call after loading a checkpoint when
+        cfg.use_int8_moe is set."""
+        from ..ops.quant import quantize_experts
+        quant = {}
+        for name, layer in variables["params"]["inner_model"].items():
+            if isinstance(layer, dict) and "experts_w1" in layer:
+                quant[name] = {"experts_q": tuple(quantize_experts(
+                    layer["experts_w1"], layer["experts_b1"],
+                    layer["experts_w2"]))}
+        return {**variables, "quant": {"inner_model": quant}}
 
     # ------------------------------------------------------------------
     # embeddings (mode_agent.py:525-567)
@@ -195,7 +222,7 @@ class MoDEAgent:
 
         def inner_apply(states, scaled_actions, goal, sigma, **kw):
             pred, aux = self.dit.apply(
-                {"params": variables["params"]["inner_model"]},
+                _dit_vars(variables),
                 states, scaled_actions, goal, sigma, train=True,
                 return_aux=True,
                 rngs={"dropout": k_drop, "router": k_router,
@@ -246,7 +273,7 @@ class MoDEAgent:
         if sigmas is None:
             sigmas = self.sigmas[:-1]
         return self.dit.apply(
-            {"params": variables["params"]["inner_model"]},
+            _dit_vars(variables),
             jnp.asarray(sigmas), method=MoDeDiT.precompute_routing)
 
     def make_denoiser(self, variables, perceptual_emb, latent_goal,
@@ -268,7 +295,7 @@ class MoDEAgent:
 
             def inner_apply(states, scaled_actions, goal, sigma, **kw):
                 return self.dit.apply(
-                    {"params": variables["params"]["inner_model"]},
+                    _dit_vars(variables),
                     states, scaled_actions, goal, sigma, train=False,
                     moe_overrides=overrides)
 

@@ -199,3 +199,111 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
       q.b1[:, None, :], q.b1[:, None, :], q.w2_q, q.w2_s[:, None, :])
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)
+
+
+# ---------------------------------------------------------------------------
+# int8 x int8 compute variant: dynamic per-token activation quantization so
+# both matmuls run as native int8 MXU ops (2x the bf16 peak on v5e). The
+# per-token activation scale and per-output-channel weight scale factor out
+# of each dot, so the int32 accumulator is rescaled once per block.
+# Accuracy: ~1e-2 relative on the MoE output (see tests); opt-in fast path.
+# ---------------------------------------------------------------------------
+
+def _quant_rows(x):
+    """Per-row symmetric int8 quantization: returns (int8 x, fp32 scale)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dot_i8(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _kernel_q8c(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref,
+                s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref):
+    e = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(e == 0, k == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    xq, sx = _quant_rows(x_ref[:].astype(jnp.float32))
+    value = _dot_i8(xq, w1v_ref[0]).astype(jnp.float32)
+    value = value * (sx * s1v_ref[0, 0][None, :]) \
+        + b1v_ref[0, 0].astype(jnp.float32)
+    gate = _dot_i8(xq, w1g_ref[0]).astype(jnp.float32)
+    gate = gate * (sx * s1g_ref[0, 0][None, :]) \
+        + b1g_ref[0, 0].astype(jnp.float32)
+    act = value * jax.nn.silu(gate)
+    aq, sa = _quant_rows(act)
+    contrib = _dot_i8(aq, w2_ref[0]).astype(jnp.float32)
+    contrib = contrib * (sa * s2_ref[0, 0][None, :])
+    out_ref[:] += probs_ref[e].astype(jnp.float32) * contrib
+
+
+@functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
+                                             "interpret"))
+def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
+                       top2_probs: jax.Array, q, *,
+                       block_tokens: int = 256, block_hidden: int = 1024,
+                       interpret: bool = False) -> jax.Array:
+    """int8-compute variant of fused_top2_mlp_q8: activations quantized
+    per token in-kernel, both dots run int8 x int8 -> int32 on the MXU."""
+    B, T, D = x.shape
+    E, _, H2 = q.w1_q.shape
+    H = H2 // 2
+    N = B * T
+    xf = x.reshape(N, D)
+    TM = min(block_tokens, max(8, N))
+    pad = (-N) % TM
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    Np = N + pad
+    TH = min(block_hidden, H)
+    assert H % TH == 0, (H, TH)
+    n_tok = Np // TM
+    n_h = H // TH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tok, 2, n_h),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, D, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+            pl.BlockSpec((1, 1, TH),
+                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+            pl.BlockSpec((1, TH, D),
+                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
+            pl.BlockSpec((1, 1, D),
+                         lambda i, e, k, idx, probs: (idx[e], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_q8c,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * D * (3 * H),
+            bytes_accessed=2 * (D * H2 + H * D)
+            + Np * D * (x.dtype.itemsize + 4),
+            transcendentals=Np * H * 2,
+        ),
+    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+      xf, q.w1_q, q.w1_q, q.w1_s[:, None, :], q.w1_s[:, None, :],
+      q.b1[:, None, :], q.b1[:, None, :], q.w2_q, q.w2_s[:, None, :])
+    out = out[:N].astype(x.dtype)
+    return out.reshape(B, T, D)

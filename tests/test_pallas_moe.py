@@ -94,3 +94,75 @@ def test_fused_top2_q8_matches_dequantized_reference():
     full = moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
     rel = float(jnp.abs(got - full).max() / (jnp.abs(full).std() + 1e-9))
     assert rel < 0.1, rel
+
+
+def test_fused_top2_mlp_q8c_interpret_matches_bf16():
+    """int8-compute kernel: per-token activation quant + int8 MXU dots stay
+    within ~2% of the exact fused kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import (
+        fused_top2_mlp, fused_top2_mlp_q8c)
+    from mode_diffusion_policy_tpu.ops.quant import quantize_experts
+    B, T, D, H, E = 4, 14, 128, 256, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, D, 2 * H)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((E, 2 * H)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, H, D)) * 0.05, jnp.float32)
+    idx = jnp.asarray([1, 3], jnp.int32)
+    p = jnp.asarray([0.6, 0.4], jnp.float32)
+    ref = fused_top2_mlp(x, idx, p, w1, b1, w2, interpret=True,
+                         block_tokens=28, block_hidden=128)
+    got = fused_top2_mlp_q8c(x, idx, p, quantize_experts(w1, b1, w2),
+                             interpret=True, block_tokens=28,
+                             block_hidden=128)
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).max() \
+        / (np.abs(np.asarray(ref)).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_int8_quant_collection_and_e2e_divergence():
+    """use_int8_moe: init builds the "quant" collection, requantize matches,
+    and the 10-step denoise diverges <1e-3 from the exact path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    import mode_diffusion_policy_tpu.ops.pallas.moe_kernel as mk
+
+    kw = dict(latent_dim=128, n_layers=2, n_heads=2, cond_dim=32,
+              resnet_type="18", use_pallas_moe=False)
+    a_ref = MoDEAgent(MoDEAgentConfig(**kw, use_int8_moe=False))
+    a_q8 = MoDEAgent(MoDEAgentConfig(**kw, use_int8_moe=True))
+    v = a_ref.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    assert "quant" not in v
+    v8 = a_q8.quantize_for_inference(v)
+    assert "quant" in v8
+    v8_init = a_q8.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    chk = jax.tree.map(np.array_equal, v8["quant"], v8_init["quant"])
+    assert all(jax.tree.leaves(chk))
+
+    emb = {"state_images": jnp.asarray(np.random.default_rng(1)
+           .standard_normal((4, 2, a_ref.cfg.obs_dim)), jnp.float32)}
+    lang = jnp.asarray(np.random.default_rng(2).standard_normal((4, 1, 32)),
+                       jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = a_ref.denoise_actions(v, emb, lang, key, inference=True,
+                                use_routing_precompute=True)
+    orig = mk.fused_top2_mlp_q8c
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig.__wrapped__(*args, **kwargs)
+
+    mk.fused_top2_mlp_q8c = interp
+    try:
+        got = a_q8.denoise_actions(v8, emb, lang, key, inference=True,
+                                   use_routing_precompute=True)
+    finally:
+        mk.fused_top2_mlp_q8c = orig
+    mae = np.abs(np.asarray(got) - np.asarray(ref)).mean()
+    assert mae < 1e-3, mae
