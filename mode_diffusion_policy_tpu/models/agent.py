@@ -67,6 +67,23 @@ class MoDEAgentConfig:
     n_heads: int = 8
     num_experts: int = 4
     top_k: int = 2
+    use_shared_expert: bool = False
+    identity_expert: bool = False
+    # inner_model passthrough (conf/model/mode_agent.yaml:46-76)
+    goal_conditioned: bool = True
+    causal: bool = True
+    embed_pdrob: float = 0.0
+    goal_drop: float = 0.1
+    attn_pdrop: float = 0.3
+    mlp_pdrop: float = 0.1
+    cond_router: bool = True
+    router_normalize: bool = True
+    use_goal_in_routing: bool = False
+    use_argmax: bool = False
+    use_noise_token_as_input: bool = True
+    init_style: str = "olmoe"
+    use_cross_attention: bool = False
+    noise_in_cross_attention: bool = False
     seed: int = 42
     dtype: Any = jnp.float32
     use_pallas_moe: bool = False
@@ -85,7 +102,20 @@ class MoDEAgentConfig:
             goal_seq_len=self.goal_seq_len, obs_seq_len=self.obs_seq_len,
             action_seq_len=self.act_window_size,
             use_proprio=self.use_proprio, num_experts=self.num_experts,
-            top_k=self.top_k, dtype=self.dtype,
+            top_k=self.top_k, use_shared_expert=self.use_shared_expert,
+            identity_expert=self.identity_expert,
+            goal_conditioned=self.goal_conditioned, causal=self.causal,
+            embed_pdrob=self.embed_pdrob, goal_drop=self.goal_drop,
+            attn_pdrop=self.attn_pdrop, mlp_pdrop=self.mlp_pdrop,
+            cond_router=self.cond_router,
+            router_normalize=self.router_normalize,
+            use_goal_in_routing=self.use_goal_in_routing,
+            use_argmax=self.use_argmax,
+            use_noise_token_as_input=self.use_noise_token_as_input,
+            init_style=self.init_style,
+            use_cross_attention=self.use_cross_attention,
+            noise_in_cross_attention=self.noise_in_cross_attention,
+            dtype=self.dtype,
             use_pallas_moe=self.use_pallas_moe,
             use_int8_moe=self.use_int8_moe)
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.primitives import RMSNorm, gumbel_topk_sample
+from ..ops.primitives import RMSNorm, gumbel_topk_sample, swish_glu
 from ..ops.moe import moe_ffn_dense, moe_ffn_top2_gather
 
 
@@ -76,6 +76,9 @@ class MoDeDiTConfig:
     use_goal_in_routing: bool = False
     use_argmax: bool = False
     use_shared_expert: bool = False
+    identity_expert: bool = False
+    use_cross_attention: bool = False
+    noise_in_cross_attention: bool = False
     use_noise_token_as_input: bool = True
     init_style: str = "olmoe"
     dtype: Any = jnp.float32       # computation dtype (bfloat16 for TPU speed)
@@ -95,6 +98,27 @@ class MoDeDiTConfig:
         # sigma + goal + 2 camera tokens + action tokens
         return (1 if self.use_noise_token_as_input else 0) + \
             (self.goal_seq_len if self.goal_conditioned else 0) + 2 + self.action_seq_len
+
+    @property
+    def num_routed_experts(self) -> int:
+        """Experts visible to the router; the shared expert is excluded
+        (reference modedit.py:477-483: num_experts_router = num_experts-1)."""
+        return self.num_experts - (1 if self.use_shared_expert else 0)
+
+    @property
+    def router_top_k(self) -> int:
+        # reference modedit.py:478: top_k_router = top_k - 1 with shared expert
+        return self.top_k - (1 if self.use_shared_expert else 0)
+
+    @property
+    def num_mlp_experts(self) -> int:
+        """Routed experts that carry MLP weights; with identity_expert the last
+        routed expert is a parameter-free passthrough (reference
+        modedit.py:495-508 — NOTE the reference registers the identity under
+        key expert_{E_r} while its forward loop reads expert_{E_r-1}, a
+        KeyError at runtime; we implement the intended semantics: routed
+        expert E_r-1 IS the identity)."""
+        return self.num_routed_experts - (1 if self.identity_expert else 0)
 
 
 def _trunc_normal_init(std: float, clip: float):
@@ -154,8 +178,11 @@ class Attention(nn.Module):
             k = RMSNorm(hd, eps=1e-6, name="k_norm")(k)
 
         logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / math.sqrt(hd)
-        if self.causal and context is None:
-            mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+        if self.causal:
+            # applies in cross-attention too: the reference builds its
+            # cross_att with causal=True and torch SDPA's is_causal masks a
+            # top-left-aligned tril even for T != S (modedit.py:460-467,148)
+            mask = jnp.tril(jnp.ones((T, S), dtype=bool))
             logits = jnp.where(mask[None, None], logits, -jnp.inf)
         attn = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         attn = nn.Dropout(cfg.attn_pdrop, name="attn_drop")(attn, deterministic=not train)
@@ -198,7 +225,9 @@ class RouterCond(nn.Module):
     def __call__(self, inputs: jax.Array, cond: Optional[jax.Array], *,
                  train: bool = False):
         cfg = self.cfg
-        E, k = cfg.num_experts, cfg.top_k
+        # with a shared expert the router sees one fewer expert and picks one
+        # fewer (reference modedit.py:477-492)
+        E, k = cfg.num_routed_experts, cfg.router_top_k
         B, T, D = inputs.shape
 
         if cfg.cond_router:
@@ -252,16 +281,29 @@ class NoiseBlockMoE(nn.Module):
         cfg = self.cfg
         D = cfg.embed_dim
         Hh = 4 * D
-        E = cfg.num_experts
+        E = cfg.num_mlp_experts
         self.ln_1 = RMSNorm(D, eps=1e-6)
         self.ln_2 = RMSNorm(D, eps=1e-6)
         self.attn = Attention(cfg, causal=cfg.causal, qk_norm=True)
+        if cfg.use_cross_attention:
+            # block-level option; the reference's MoDeDiT never threads it but
+            # the block supports it (modedit.py:458-467,534-538)
+            self.ln_3 = RMSNorm(D, eps=1e-6)
+            self.cross_att = Attention(cfg, causal=True, qk_norm=True)
         self.router = RouterCond(cfg)
         init = kernel_init_for(cfg.init_style, D)
         init_h = kernel_init_for(cfg.init_style, Hh)
         self.w1 = self.param("experts_w1", init, (E, D, 2 * Hh), jnp.float32)
         self.b1 = self.param("experts_b1", nn.initializers.zeros, (E, 2 * Hh), jnp.float32)
         self.w2 = self.param("experts_w2", init_h, (E, Hh, D), jnp.float32)
+        if cfg.use_shared_expert:
+            # always-on expert, added unweighted after the routed sum
+            # (reference modedit.py:574-581 else-branch: router_mask covers
+            # only the routed experts, so shared_output is not prob-scaled)
+            self.shared_w1 = self.param("shared_w1", init, (D, 2 * Hh), jnp.float32)
+            self.shared_b1 = self.param("shared_b1", nn.initializers.zeros,
+                                        (2 * Hh,), jnp.float32)
+            self.shared_w2 = self.param("shared_w2", init_h, (Hh, D), jnp.float32)
         if cfg.use_int8_moe:
             # int8 weights live in their own "quant" collection so they are
             # computed ONCE (at init / via MoDEAgent.quantize_for_inference)
@@ -273,12 +315,18 @@ class NoiseBlockMoE(nn.Module):
         self.mlp_drop = nn.Dropout(cfg.mlp_pdrop)
 
     def __call__(self, x: jax.Array, c: jax.Array, *, train: bool = False,
+                 context: Optional[jax.Array] = None,
                  moe_override: Optional[Tuple[jax.Array, jax.Array]] = None):
-        """moe_override: optional (top2_idx [k], top2_probs [k]) — the
-        per-sigma precomputed routing for the inference fast path."""
+        """moe_override: optional (topk_idx [k], topk_probs [k]) — the
+        per-sigma precomputed routing for the inference fast path.
+        context: optional cross-attention keys/values [B, S, D]
+        (reference modedit.py:534-538)."""
         cfg = self.cfg
         dt = cfg.dtype
         x = x + self.attn(self.ln_1(x) + c, train=train)
+        if cfg.use_cross_attention and context is not None:
+            q_in = self.ln_3(x) + c if cfg.noise_in_cross_attention else self.ln_3(x)
+            x = x + self.cross_att(q_in, train=train, context=context)
         x = self.ln_2(x)
 
         w1 = self.w1.astype(dt)
@@ -287,30 +335,26 @@ class NoiseBlockMoE(nn.Module):
 
         if moe_override is not None:
             idx, p = moe_override
-            if cfg.use_int8_moe:
-                from ..ops.pallas.moe_kernel import fused_top2_mlp_q8c
-                from ..ops.quant import QuantizedExperts
-                out = fused_top2_mlp_q8c(
-                    x, idx, p, QuantizedExperts(*self.experts_q.value))
-            elif cfg.use_pallas_moe:
-                from ..ops.pallas.moe_kernel import fused_top2_mlp
-                out = fused_top2_mlp(x, idx, p, w1, b1, w2)
-            else:
-                out = moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
+            out = self._override_out(x, idx, p, w1, b1, w2)
+            if cfg.use_shared_expert:
+                out = out + self._shared_out(x, train=False)
             return x + out, None
 
         mask, idx, router_probs, probs, logits = self.router(x, c, train=train)
-        # expert dropout sits between SwishGLU and w2 in the reference Mlp —
-        # applied to the activation tensor here (train only, p=mlp_pdrop)
-        out = self._moe_with_dropout(x, router_probs.astype(dt), w1, b1, w2, train)
+        out = self._experts_out(x, router_probs.astype(dt), w1, b1, w2, train)
+        if cfg.use_shared_expert:
+            out = out + self._shared_out(x, train=train)
         B, T, _ = x.shape
         batch_tokens = B * T
+        # load balance runs over the ROUTED experts only (reference
+        # modedit.py:583-593: num_balanced_experts = len(self.experts))
+        E_r = cfg.num_routed_experts
         aux = {
             "logits": logits,
             "probs": probs,
             "router_mask": mask,
             # modedit.py:589-592
-            "load_balancing_term": cfg.num_experts * jnp.sum(
+            "load_balancing_term": E_r * jnp.sum(
                 jnp.mean(router_probs, axis=(0, 1))
                 * (jnp.sum(mask, axis=(0, 1)) / batch_tokens)
             ),
@@ -319,16 +363,57 @@ class NoiseBlockMoE(nn.Module):
         }
         return x + out, aux
 
-    def _moe_with_dropout(self, x, router_probs, w1, b1, w2, train):
+    def _override_out(self, x, idx, p, w1, b1, w2):
+        """Per-sigma precomputed-routing MoE output over the routed experts."""
         cfg = self.cfg
+        dt = cfg.dtype
+        if cfg.identity_expert:
+            # the last routed expert is a passthrough with no weights: gather
+            # the MLP experts with its probability zeroed, add p_id * x
+            is_id = idx == cfg.num_mlp_experts
+            safe_idx = jnp.where(is_id, 0, idx)
+            p_mlp = jnp.where(is_id, jnp.zeros_like(p), p)
+            out = moe_ffn_top2_gather(x, safe_idx, p_mlp.astype(dt), w1, b1, w2)
+            return out + jnp.sum(jnp.where(is_id, p, jnp.zeros_like(p))).astype(x.dtype) * x
+        if cfg.use_int8_moe and cfg.router_top_k == 2:
+            from ..ops.pallas.moe_kernel import fused_top2_mlp_q8c
+            from ..ops.quant import QuantizedExperts
+            return fused_top2_mlp_q8c(
+                x, idx, p, QuantizedExperts(*self.experts_q.value))
+        if cfg.use_pallas_moe and cfg.router_top_k == 2:
+            from ..ops.pallas.moe_kernel import fused_top2_mlp
+            return fused_top2_mlp(x, idx, p, w1, b1, w2)
+        return moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
+
+    def _experts_out(self, x, router_probs, w1, b1, w2, train):
+        """Routed-expert MoE output; expert dropout sits between SwishGLU and
+        w2 in the reference Mlp — applied to the activation tensor here
+        (train only, p=mlp_pdrop)."""
+        cfg = self.cfg
+        E_m = cfg.num_mlp_experts
+        mlp_probs = router_probs[..., :E_m]
         if not train or cfg.mlp_pdrop == 0.0:
-            return moe_ffn_dense(x, router_probs, w1, b1, w2)
-        from ..ops.primitives import swish_glu
-        h = jnp.einsum("btd,edh->ebth", x, w1) + b1[:, None, None, :]
+            out = moe_ffn_dense(x, mlp_probs, w1, b1, w2)
+        else:
+            h = jnp.einsum("btd,edh->ebth", x, w1) + b1[:, None, None, :]
+            act = swish_glu(h)
+            act = self.mlp_drop(act, deterministic=False)
+            eo = jnp.einsum("ebth,ehd->ebtd", act, w2)
+            out = jnp.einsum("bte,ebtd->btd", mlp_probs, eo)
+        if cfg.identity_expert:
+            out = out + router_probs[..., E_m:] * x
+        return out
+
+    def _shared_out(self, x, train):
+        """Shared SwishGLU expert, identical shape to one routed expert
+        (reference modedit.py:507-508,574-581)."""
+        cfg = self.cfg
+        dt = cfg.dtype
+        h = x @ self.shared_w1.astype(dt) + self.shared_b1.astype(dt)
         act = swish_glu(h)
-        act = self.mlp_drop(act, deterministic=False)
-        eo = jnp.einsum("ebth,ehd->ebtd", act, w2)
-        return jnp.einsum("bte,ebtd->btd", router_probs, eo)
+        if train and cfg.mlp_pdrop > 0.0:
+            act = self.mlp_drop(act, deterministic=False)
+        return act @ self.shared_w2.astype(dt)
 
     def route_for_cond(self, c: jax.Array):
         """Run only the router on a cond token [B,1,D]; returns top-k
@@ -407,6 +492,7 @@ class MoDeDiT(nn.Module):
     def __call__(self, states: Dict[str, jax.Array], actions: jax.Array,
                  goals: jax.Array, sigma: jax.Array, *,
                  train: bool = False, uncond: bool = False,
+                 context: Optional[jax.Array] = None,
                  moe_overrides: Optional[Sequence[Tuple[jax.Array, jax.Array]]] = None,
                  return_aux: bool = False):
         """Predict denoised actions.
@@ -415,6 +501,9 @@ class MoDeDiT(nn.Module):
         actions: [B, action_seq_len, action_dim] (noised, pre-scaled by c_in).
         goals:   [B, goal_dim] or [B, 1, goal_dim].
         sigma:   [B] noise levels.
+        context: optional [B, S, embed_dim] cross-attention context for
+            cfg.use_cross_attention blocks (block-level reference option,
+            modedit.py:534-538; the reference MoDeDiT never threads it).
         moe_overrides: per-layer (top2_idx, top2_probs) for inference.
         """
         cfg = self.cfg
@@ -447,10 +536,17 @@ class MoDeDiT(nn.Module):
         if cfg.use_goal_in_routing:
             cond_token = cond_token + goal_embed
 
+        # the reference passes the cond token as each block's cross-attention
+        # context (modedit.py:815: layer(x, c, c)); only consumed when
+        # use_cross_attention is on
+        if context is None:
+            context = cond_token
+
         aux_layers = []
         for i, block in enumerate(self.blocks):
             ov = None if moe_overrides is None else moe_overrides[i]
-            x, aux = block(x, cond_token, train=train, moe_override=ov)
+            x, aux = block(x, cond_token, train=train, context=context,
+                           moe_override=ov)
             aux_layers.append(aux)
         x = self.ln(x)
         pred = self.out(x[:, -cfg.action_seq_len:, :])

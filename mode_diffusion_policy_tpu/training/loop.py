@@ -254,6 +254,19 @@ class Trainer:
             out_shardings=(rep, rep),
             donate_argnums=(0,))
 
+        # validation denoise compiled ONCE and reused across epochs (the
+        # round-1 un-jitted path retraced the 10-step sampler every epoch)
+        def val_fn(variables, batch, rng):
+            _, metrics = self.agent.validation_denoise(variables, batch, rng)
+            return metrics
+
+        self._val_step = jax.jit(
+            val_fn,
+            in_shardings=(rep, jax.tree.map(lambda _: bsh, {
+                "rgb_static": 0, "rgb_gripper": 0, "actions": 0,
+                "lang_emb": 0}), rep),
+            out_shardings=rep)
+
         # auto-resume from newest checkpoint (training_calvin.py:77-78)
         latest = self.ckpt.latest_step()
         if latest is not None:
@@ -313,9 +326,8 @@ class Trainer:
                     if i >= self.limit_val_batches:
                         break
                     batch = shard_batch(self.mesh, batch)
-                    _, m = self.agent.validation_denoise(
-                        state.eval_variables(), batch,
-                        jax.random.PRNGKey(epoch))
+                    m = self._val_step(state.eval_variables(), batch,
+                                       jax.random.PRNGKey(epoch))
                     val_losses.append(float(m["val_act/lang_act_loss_pp"]))
                 if val_losses:
                     epoch_metrics["val_act/lang_act_loss_pp"] = float(

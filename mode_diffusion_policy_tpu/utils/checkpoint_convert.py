@@ -86,42 +86,72 @@ def convert_modedit(state_dict: Mapping[str, Any], n_layers: int,
     dense(f"{p}out", ("out",))
 
     for i in range(n_layers):
-        b = f"{p}blocks.{i}."
-        blk: Dict[str, Any] = {}
-        blk["ln_1"] = {"g": sd[b + "ln_1.g"]}
-        blk["ln_2"] = {"g": sd[b + "ln_2.g"]}
-        # fused qkv (reference has separate query/key/value Linears,
-        # modedit.py:108-110)
-        qw, kw, vw = (sd[b + f"attn.{n}.weight"] for n in ("query", "key", "value"))
-        qb, kb, vb = (sd[b + f"attn.{n}.bias"] for n in ("query", "key", "value"))
-        attn = {
-            "wqkv": {"kernel": np.concatenate([qw.T, kw.T, vw.T], axis=1),
-                     "bias": np.concatenate([qb, kb, vb])},
-            "c_proj": {"kernel": sd[b + "attn.c_proj.weight"].T},
-            "q_norm": {"g": sd[b + "attn.q_norm.g"]},
-            "k_norm": {"g": sd[b + "attn.k_norm.g"]},
-        }
-        blk["attn"] = attn
-        blk["router"] = {"mlp": {
-            "fc1": {"kernel": sd[b + "router.router.mlp.0.weight"].T,
-                    "bias": sd[b + "router.router.mlp.0.bias"]},
-            "fc2": {"kernel": sd[b + "router.router.mlp.3.weight"].T,
-                    "bias": sd[b + "router.router.mlp.3.bias"]},
-        }}
-        # stacked experts (reference Mlp: SwishGLU.project + out Linear,
-        # modedit.py:220-265)
-        w1 = np.stack([sd[b + f"experts.expert_{e}.mlp.0.project.weight"].T
-                       for e in range(num_experts)])
-        b1 = np.stack([sd[b + f"experts.expert_{e}.mlp.0.project.bias"]
-                       for e in range(num_experts)])
-        w2 = np.stack([sd[b + f"experts.expert_{e}.mlp.2.weight"].T
-                       for e in range(num_experts)])
-        blk["experts_w1"] = w1
-        blk["experts_b1"] = b1
-        blk["experts_w2"] = w2
-        params[f"blocks_{i}"] = blk
+        params[f"blocks_{i}"] = convert_block(sd, f"{p}blocks.{i}.",
+                                              num_experts)
 
     return params
+
+
+def convert_block(sd: Mapping[str, np.ndarray], b: str,
+                  num_experts: int) -> Dict[str, Any]:
+    """Convert one reference NoiseBlockMoE's weights (key prefix ``b``).
+
+    num_experts = MLP-carrying experts only (shared and identity experts are
+    not in the expert_{e} keyspace)."""
+    blk: Dict[str, Any] = {}
+    blk["ln_1"] = {"g": sd[b + "ln_1.g"]}
+    blk["ln_2"] = {"g": sd[b + "ln_2.g"]}
+    # fused qkv (reference has separate query/key/value Linears,
+    # modedit.py:108-110)
+    qw, kw, vw = (sd[b + f"attn.{n}.weight"] for n in ("query", "key", "value"))
+    qb, kb, vb = (sd[b + f"attn.{n}.bias"] for n in ("query", "key", "value"))
+    attn = {
+        "wqkv": {"kernel": np.concatenate([qw.T, kw.T, vw.T], axis=1),
+                 "bias": np.concatenate([qb, kb, vb])},
+        "c_proj": {"kernel": sd[b + "attn.c_proj.weight"].T},
+        "q_norm": {"g": sd[b + "attn.q_norm.g"]},
+        "k_norm": {"g": sd[b + "attn.k_norm.g"]},
+    }
+    blk["attn"] = attn
+    if b + "cross_att.query.weight" in sd:
+        # block-level cross-attention (reference modedit.py:458-467):
+        # separate q kernel, fused kv kernel over the context input
+        qw = sd[b + "cross_att.query.weight"]
+        kw, vw = sd[b + "cross_att.key.weight"], sd[b + "cross_att.value.weight"]
+        qb = sd[b + "cross_att.query.bias"]
+        kb, vb = sd[b + "cross_att.key.bias"], sd[b + "cross_att.value.bias"]
+        blk["cross_att"] = {
+            "wq": {"kernel": qw.T, "bias": qb},
+            "wkv": {"kernel": np.concatenate([kw.T, vw.T], axis=1),
+                    "bias": np.concatenate([kb, vb])},
+            "c_proj": {"kernel": sd[b + "cross_att.c_proj.weight"].T},
+            "q_norm": {"g": sd[b + "cross_att.q_norm.g"]},
+            "k_norm": {"g": sd[b + "cross_att.k_norm.g"]},
+        }
+        blk["ln_3"] = {"g": sd[b + "ln_3.g"]}
+    blk["router"] = {"mlp": {
+        "fc1": {"kernel": sd[b + "router.router.mlp.0.weight"].T,
+                "bias": sd[b + "router.router.mlp.0.bias"]},
+        "fc2": {"kernel": sd[b + "router.router.mlp.3.weight"].T,
+                "bias": sd[b + "router.router.mlp.3.bias"]},
+    }}
+    # stacked experts (reference Mlp: SwishGLU.project + out Linear,
+    # modedit.py:220-265)
+    blk["experts_w1"] = np.stack(
+        [sd[b + f"experts.expert_{e}.mlp.0.project.weight"].T
+         for e in range(num_experts)])
+    blk["experts_b1"] = np.stack(
+        [sd[b + f"experts.expert_{e}.mlp.0.project.bias"]
+         for e in range(num_experts)])
+    blk["experts_w2"] = np.stack(
+        [sd[b + f"experts.expert_{e}.mlp.2.weight"].T
+         for e in range(num_experts)])
+    if b + "shared_mlp.mlp.0.project.weight" in sd:
+        # shared expert (reference modedit.py:507-508)
+        blk["shared_w1"] = sd[b + "shared_mlp.mlp.0.project.weight"].T
+        blk["shared_b1"] = sd[b + "shared_mlp.mlp.0.project.bias"]
+        blk["shared_w2"] = sd[b + "shared_mlp.mlp.2.weight"].T
+    return blk
 
 
 def detect_layout(state_dict: Mapping[str, Any]):
@@ -144,6 +174,46 @@ def detect_layout(state_dict: Mapping[str, Any]):
             experts.add(int(m.group(1)))
     return (max(layers) + 1 if layers else 0,
             max(experts) + 1 if experts else 0, prefix)
+
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def extract_ema_state_dict(ckpt: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Replace trained weights with the EMA weights stored in Lightning
+    callback state.
+
+    The reference EMA callback stores ``ema_weights`` as a bare list of
+    tensors ordered by ``model.named_parameters()`` (callbacks/ema.py:144-153)
+    and the eval loader zips it back onto parameter names
+    (evaluation/utils.py:92-103). torch's state_dict recurses modules in
+    registration order emitting parameters before buffers per module, so the
+    parameter-name order equals the state_dict keys with buffer keys
+    (BN running stats / num_batches_tracked) filtered out.
+    """
+    sd = {k: _np(v) for k, v in ckpt["state_dict"].items()}
+    ema_list = ckpt["callbacks"]["EMA"]["ema_weights"]
+    param_names = [k for k in sd if not k.endswith(_BUFFER_SUFFIXES)]
+    if len(param_names) != len(ema_list):
+        raise ValueError(
+            f"EMA weight count {len(ema_list)} != parameter count "
+            f"{len(param_names)} — cannot align ema_weights to names")
+    out = dict(sd)
+    for name, w in zip(param_names, ema_list):
+        out[name] = _np(w)
+    return out
+
+
+def load_lightning_checkpoint(path: str, use_ema: bool = True,
+                              ) -> Dict[str, np.ndarray]:
+    """Load a Lightning .ckpt into a numpy state dict, swapping in EMA
+    weights from callback state when present (the published-checkpoint load
+    path, reference evaluation/utils.py:64-103)."""
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    if use_ema and "ema_weights" in data.get("callbacks", {}).get("EMA", {}):
+        return extract_ema_state_dict(data)
+    return {k: _np(v) for k, v in data["state_dict"].items()}
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
