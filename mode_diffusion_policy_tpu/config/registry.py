@@ -43,6 +43,9 @@ _ALIASES: Dict[str, str] = {
     "mode.utils.transforms.NormalizeVector": "__transform__:normalize_vector",
     "mode.utils.transforms.AddGaussianNoise": "__transform__:gaussian_noise",
     "mode.utils.transforms.AddDepthNoise": "__transform__:depth_noise",
+    "mode.utils.transforms.RobustColorJitter": "__transform__:color_jitter",
+    "mode.utils.transforms.RobustRandomErasing": "__transform__:random_erasing",
+    "mode.utils.transforms.RandomWordDropout": "__transform__:word_dropout",
     "torch.optim.AdamW": "__optimizer__:adamw",
 }
 

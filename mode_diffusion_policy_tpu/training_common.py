@@ -24,7 +24,9 @@ DEFAULT_PIPELINES = {
 
 
 def parse_camera_pipelines(transforms_cfg: Optional[Dict]) -> Dict[str, Dict]:
-    """{'rgb_static': {'size', 'pad'}, ...} from the (train) transform specs."""
+    """{'rgb_static': {'size', 'pad'[, 'jitter', 'erasing']}, ...} from the
+    (train) transform specs, plus optional 'word_dropout_p' for a language
+    RandomWordDropout entry (reference transforms.py:144-195)."""
     out = {k: dict(v) for k, v in DEFAULT_PIPELINES.items()}
     train = (transforms_cfg or {}).get("train", {})
     for cam in out:
@@ -34,6 +36,22 @@ def parse_camera_pipelines(transforms_cfg: Optional[Dict]) -> Dict[str, Dict]:
                 out[cam]["size"] = int(spec.get("size", out[cam]["size"]))
             elif target.endswith("RandomShiftsAug"):
                 out[cam]["pad"] = int(spec.get("pad", out[cam]["pad"]))
+            elif target.endswith("RobustColorJitter"):
+                out[cam]["jitter"] = {
+                    "brightness": float(spec.get("brightness", 0.3)),
+                    "contrast": float(spec.get("contrast", 0.3)),
+                    "saturation": float(spec.get("saturation", 0.3)),
+                    "hue": float(spec.get("hue", 0.1))}
+            elif target.endswith("RobustRandomErasing"):
+                out[cam]["erasing"] = {
+                    "p": float(spec.get("p", 0.2)),
+                    "scale": tuple(spec.get("scale", (0.02, 0.33))),
+                    "ratio": tuple(spec.get("ratio", (0.3, 3.3))),
+                    "value": float(spec.get("value", 0))}
+    for lang_key in ("language", "lang", "lang_emb"):
+        for spec in train.get(lang_key, []):
+            if str(spec.get("_target_", "")).endswith("RandomWordDropout"):
+                out["word_dropout_p"] = float(spec.get("p", 0.1))
     return out
 
 
@@ -48,7 +66,14 @@ def make_train_preprocess(pipelines: Dict[str, Dict]) -> Callable:
             cam_key = jax.random.fold_in(key, i)
             p = pipelines[cam]
             out[cam] = preprocess_camera(cam_key, batch[cam], size=p["size"],
-                                         shift_pad=p["pad"], train=True)
+                                         shift_pad=p["pad"], train=True,
+                                         jitter=p.get("jitter"),
+                                         erasing=p.get("erasing"))
+        wd_p = pipelines.get("word_dropout_p")
+        if wd_p and "lang_emb" in batch:
+            from .ops.image import random_word_dropout
+            out["lang_emb"] = random_word_dropout(
+                jax.random.fold_in(key, 7), batch["lang_emb"], wd_p)
         return out
 
     return preprocess

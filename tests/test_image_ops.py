@@ -114,3 +114,125 @@ def test_relative_actions_matches_reference_formula():
     rel_orn = np.clip((diff + np.pi) % (2 * np.pi) - np.pi, -0.05, 0.05) / 0.05
     want = np.concatenate([rel_pos, rel_orn, actions[:, -1:]], axis=1)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ColorJitter / RandomErasing / RandomWordDropout (reference
+# transforms.py:144-195; torchvision is not installed here, so HSV math is
+# checked against the stdlib colorsys oracle and the rest via semantics)
+# ---------------------------------------------------------------------------
+
+def test_rgb_hsv_roundtrip_matches_colorsys():
+    import colorsys
+    from mode_diffusion_policy_tpu.ops.image import hsv_to_rgb, rgb_to_hsv
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+    ours = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+    golden = np.array([colorsys.rgb_to_hsv(*px) for px in rgb], np.float32)
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+    back = np.asarray(hsv_to_rgb(jnp.asarray(ours)))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_color_jitter_identity_and_bounds():
+    from mode_diffusion_policy_tpu.ops.image import color_jitter
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 16, 16, 3)), jnp.float32)
+    # zero-strength jitter is the identity
+    out0 = color_jitter(jax.random.PRNGKey(0), x, brightness=0, contrast=0,
+                        saturation=0, hue=0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-5)
+    # default strength: output stays in [0,1], differs, deterministic per key
+    out1 = color_jitter(jax.random.PRNGKey(1), x)
+    out1b = color_jitter(jax.random.PRNGKey(1), x)
+    out2 = color_jitter(jax.random.PRNGKey(2), x)
+    a1 = np.asarray(out1)
+    assert a1.min() >= 0.0 and a1.max() <= 1.0
+    assert not np.allclose(a1, np.asarray(x))
+    np.testing.assert_array_equal(a1, np.asarray(out1b))
+    assert not np.array_equal(a1, np.asarray(out2))
+
+
+def test_color_jitter_brightness_only_is_scaling():
+    from mode_diffusion_policy_tpu.ops.image import color_jitter
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0.1, 0.5, (4, 8, 8, 3)), jnp.float32)
+    out = np.asarray(color_jitter(jax.random.PRNGKey(3), x, brightness=0.3,
+                                  contrast=0, saturation=0, hue=0))
+    # each image must be x * f for one scalar f in [0.7, 1.3]
+    f = out / np.asarray(x)
+    for b in range(4):
+        fb = f[b][np.isfinite(f[b])]
+        assert fb.std() < 1e-4
+        assert 0.7 - 1e-4 <= fb.mean() <= 1.3 + 1e-4
+
+
+def test_random_erasing_p0_p1():
+    from mode_diffusion_policy_tpu.ops.image import random_erasing
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.2, 1, (6, 32, 32, 3)), jnp.float32)
+    same = random_erasing(jax.random.PRNGKey(0), x, p=0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+
+    out = np.asarray(random_erasing(jax.random.PRNGKey(1), x, p=1.0))
+    H, W = 32, 32
+    for b in range(6):
+        zero_mask = (out[b] == 0).all(-1)
+        n_zero = int(zero_mask.sum())
+        # exactly one rectangle, with area in the configured range
+        assert n_zero > 0
+        rows = np.where(zero_mask.any(1))[0]
+        cols = np.where(zero_mask.any(0))[0]
+        h = rows.max() - rows.min() + 1
+        w = cols.max() - cols.min() + 1
+        assert n_zero == h * w, "erased region must be a solid rectangle"
+        assert 0.01 * H * W <= n_zero <= 0.40 * H * W
+
+
+def test_random_word_dropout():
+    from mode_diffusion_policy_tpu.ops.image import random_word_dropout
+    x = jnp.ones((64, 1, 512), jnp.float32)
+    out = np.asarray(random_word_dropout(jax.random.PRNGKey(0), x, p=0.1))
+    frac_zero = float((out == 0).mean())
+    assert 0.07 < frac_zero < 0.13
+    # surviving entries are NOT rescaled (reference transforms.py:185-187)
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    same = np.asarray(random_word_dropout(jax.random.PRNGKey(1), x, p=0.0))
+    np.testing.assert_array_equal(same, np.asarray(x))
+
+
+def test_preprocess_camera_with_jitter_and_erasing():
+    from mode_diffusion_policy_tpu.ops.image import preprocess_camera
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (2, 1, 48, 48, 3), dtype=np.uint8)
+    out = preprocess_camera(
+        jax.random.PRNGKey(0), jnp.asarray(x), size=32, shift_pad=4,
+        train=True, jitter={"brightness": 0.3, "contrast": 0.3,
+                            "saturation": 0.3, "hue": 0.1},
+        erasing={"p": 1.0})
+    assert out.shape == (2, 1, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pipeline_parsing_picks_up_new_transforms():
+    from mode_diffusion_policy_tpu.training_common import (
+        parse_camera_pipelines)
+    cfg = {"train": {
+        "rgb_static": [
+            {"_target_": "torchvision.transforms.Resize", "size": 224},
+            {"_target_": "mode.utils.transforms.RobustColorJitter",
+             "brightness": 0.2, "hue": 0.05},
+            {"_target_": "mode.utils.transforms.RobustRandomErasing",
+             "p": 0.5},
+        ],
+        "language": [
+            {"_target_": "mode.utils.transforms.RandomWordDropout",
+             "p": 0.25},
+        ],
+    }}
+    p = parse_camera_pipelines(cfg)
+    assert p["rgb_static"]["jitter"]["brightness"] == 0.2
+    assert p["rgb_static"]["jitter"]["hue"] == 0.05
+    assert p["rgb_static"]["erasing"]["p"] == 0.5
+    assert "jitter" not in p["rgb_gripper"]
+    assert p["word_dropout_p"] == 0.25
