@@ -74,6 +74,11 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     log(f"init: {n_params/1e6:.0f}M params in {time.time()-t0:.1f}s")
 
+    if os.environ.get("BENCH_FOLD", "1") == "1":
+        # BN-folded encoders + space-to-depth stem (exact rewrites; see
+        # tests/test_resnet_fold.py). BENCH_FOLD=0 reverts.
+        variables = agent.fold_encoders_for_inference(variables)
+
     def chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
         rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
         rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)

@@ -1,0 +1,150 @@
+"""Micro-benchmarks for individual kernels at the flagship hot shapes.
+
+Usage: python bench_kernels.py [name ...]   (default: all)
+
+Timing uses the same scan-differencing method as bench.py (N iterations
+inside one jit with key-dependent input jitter, T(N)-T(1) differencing) —
+per-call host timing through the axon tunnel is unreliable (CLAUDE.md).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.makedirs(os.path.expanduser("~/.cache/jax_mode_tpu"), exist_ok=True)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_mode_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def timeit(fn, *args, iters=2000):
+    """Scan-differencing: time fn folded over `iters` steps inside one jit."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def repeat(f, key, n, *a):
+        def body(carry, i):
+            k = jax.random.fold_in(carry, i)
+            jit8 = (jax.random.uniform(k, ()) * 1e-6).astype(a[0].dtype)
+            out = f(a[0] + jit8, *a[1:])
+            return k, jnp.sum(out.astype(jnp.float32))
+        _, s = jax.lax.scan(body, key, jnp.arange(n))
+        return s
+
+    k = jax.random.PRNGKey(0)
+    np.asarray(repeat(fn, k, 1, *args))       # compile n=1
+    np.asarray(repeat(fn, k, iters, *args))   # compile n=iters
+    t0 = time.time(); np.asarray(repeat(fn, jax.random.PRNGKey(1), 1, *args))
+    t1 = time.time() - t0
+    t0 = time.time(); np.asarray(repeat(fn, jax.random.PRNGKey(2), iters, *args))
+    tN = time.time() - t0
+    return (tN - t1) / (iters - 1)
+
+
+def bench_attn_proj():
+    """qkv + out-proj matmuls at the DiT hot shape (b=128 x 14 tokens)."""
+    N, D = 1792, 1024
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.02, jnp.bfloat16)
+    wout = jnp.asarray(rng.standard_normal((D, D)) * 0.02, jnp.bfloat16)
+
+    def bf16(x, wqkv, wout):
+        qkv = x @ wqkv
+        y = qkv[:, :D]
+        return y @ wout
+
+    # int8 weights, per-output-channel scales; per-token activation quant
+    def q8(w):
+        s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+        q = jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8)
+        return q, s
+
+    qkv_q, qkv_s = q8(wqkv)
+    out_q, out_s = q8(wout)
+
+    def quant_dot(x, wq, ws):
+        ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True) / 127.0
+        xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
+        acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * ax * ws[None, :]
+
+    def int8(x, qkv_q, qkv_s, out_q, out_s):
+        qkv = quant_dot(x, qkv_q, qkv_s)
+        y = qkv[:, :D].astype(jnp.bfloat16)
+        return quant_dot(y, out_q, out_s)
+
+    t_bf = timeit(bf16, x, wqkv, wout)
+    t_q8 = timeit(int8, x, qkv_q, qkv_s, out_q, out_s)
+    flops = 2 * N * D * (3 * D + D)
+    print(f"attn_proj bf16: {t_bf*1e6:.0f} us  ({flops/t_bf/1e12:.0f} TF/s)")
+    print(f"attn_proj int8: {t_q8*1e6:.0f} us  ({flops/t_q8/1e12:.0f} TF/s)")
+
+
+def bench_attn_core():
+    """The non-matmul attention ops at the hot shape (B=128,H=8,T=14,hd=128)."""
+    B, H, T, hd = 128, 8, 14, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.bfloat16)
+
+    def core(q, k, v):
+        import math
+        logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
+        logits = logits / math.sqrt(hd)
+        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, H * hd)
+
+    t = timeit(core, q, k, v)
+    print(f"attn_core (qk^T+softmax+@v): {t*1e6:.0f} us")
+
+
+def bench_encoder():
+    """2x FiLM-ResNet-50 @224 b=128: folded vs unfolded inference."""
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    cfg = MoDEAgentConfig(latent_dim=1024, n_layers=1, n_heads=8,
+                          cond_dim=512, resnet_type="50", dtype=jnp.bfloat16)
+    agent = MoDEAgent(cfg)
+    shapes = jax.eval_shape(
+        lambda kk: agent.init_variables(kk, image_hw=(224, 224)),
+        jax.random.PRNGKey(0))
+    variables = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype),
+                             shapes)
+    folded = agent.fold_encoders_for_inference(variables)
+    B = 128
+    rng = np.random.default_rng(0)
+    rs = jnp.asarray(rng.standard_normal((B, 1, 224, 224, 3)), jnp.float32)
+    rg = jnp.asarray(rng.standard_normal((B, 1, 224, 224, 3)), jnp.float32)
+    goal = jnp.asarray(rng.standard_normal((B, 1, 512)), jnp.float32)
+
+    def enc(rs, v):
+        emb, _ = agent.embed_visual_obs(v, rs, rg, goal, train=False)
+        return emb["state_images"]
+
+    t0 = timeit(lambda rs: enc(rs, variables), rs, iters=30)
+    t1 = timeit(lambda rs: enc(rs, folded), rs, iters=30)
+    print(f"2x resnet50 b=128 unfolded: {t0*1e3:.2f} ms")
+    print(f"2x resnet50 b=128 folded:   {t1*1e3:.2f} ms")
+
+
+ALL = {"attn_proj": bench_attn_proj, "attn_core": bench_attn_core,
+       "encoder": bench_encoder}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    print("devices:", jax.devices(), file=sys.stderr)
+    for n in names:
+        ALL[n]()

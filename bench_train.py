@@ -80,6 +80,31 @@ def main():
         return jax.lax.scan(body, state, jnp.arange(n))
 
     state = jax.device_put(state)
+
+    if int(os.environ.get("BENCH_TRAIN_CONVERGE", "0")):
+        # Convergence smoke (VERDICT r1 #10): optimize the flagship stack for
+        # ~500 real-shape steps on-chip on a fixed batch under per-step
+        # random augmentation (a learnable objective) and require a sustained
+        # loss decrease with finite losses throughout.
+        steps = int(os.environ["BENCH_TRAIN_CONVERGE"])
+        chunk = 50
+        losses = []
+        t0 = time.time()
+        for c in range(steps // chunk):
+            state, l = train_n(state, chunk)
+            l = np.asarray(l)
+            assert np.isfinite(l).all(), f"non-finite loss in chunk {c}: {l}"
+            losses.append(l)
+            log(f"steps {c*chunk}-{(c+1)*chunk}: loss "
+                f"{l.mean():.4f} (min {l.min():.4f})")
+        losses = np.concatenate(losses)
+        first, last = losses[:chunk].mean(), losses[-chunk:].mean()
+        print(f"convergence: {steps} steps in {time.time()-t0:.0f}s, "
+              f"loss {first:.4f} -> {last:.4f} "
+              f"({'OK' if last < 0.7 * first else 'NO DECREASE'})")
+        assert last < 0.7 * first, (first, last)
+        return
+
     t0 = time.time()
     state, l1 = train_n(state, 1)
     log(f"n=1 compile+run {time.time()-t0:.0f}s loss={np.asarray(l1)}")

@@ -129,17 +129,18 @@ class MoDEAgent:
         self.dit = MoDeDiT(cfg.dit_config())
         if cfg.resnet_type in ("34", "50"):
             depth = int(cfg.resnet_type)
-            self.static_resnet = FiLMResNetPolicy(cfg.cond_dim, depth=depth,
-                                                  dtype=cfg.dtype)
-            self.gripper_resnet = FiLMResNetPolicy(cfg.cond_dim, depth=depth,
-                                                   dtype=cfg.dtype)
+            mk = lambda folded: FiLMResNetPolicy(  # noqa: E731
+                cfg.cond_dim, depth=depth, dtype=cfg.dtype, folded=folded)
         else:
-            self.static_resnet = ResNetEncoderWithFiLM(cfg.cond_dim,
-                                                       latent_dim=512,
-                                                       dtype=cfg.dtype)
-            self.gripper_resnet = ResNetEncoderWithFiLM(cfg.cond_dim,
-                                                        latent_dim=512,
-                                                        dtype=cfg.dtype)
+            mk = lambda folded: ResNetEncoderWithFiLM(  # noqa: E731
+                cfg.cond_dim, latent_dim=512, dtype=cfg.dtype, folded=folded)
+        self.static_resnet = mk(False)
+        self.gripper_resnet = mk(False)
+        # BN-folded + space-to-depth-stem inference variants; consume params
+        # produced by fold_encoders_for_inference (exact same math, better
+        # MXU mapping — see encoders/resnet.py)
+        self.static_resnet_folded = mk(True)
+        self.gripper_resnet_folded = mk(True)
         self.sigmas = get_noise_schedule(
             cfg.num_sampling_steps, cfg.noise_scheduler, cfg.sigma_min,
             cfg.sigma_max)
@@ -181,6 +182,17 @@ class MoDEAgent:
             out["quant"] = {"inner_model": dit_vars["quant"]}
         return out
 
+    def fold_encoders_for_inference(self, variables):
+        """Fold encoder BatchNorms into conv weights and rewrite the 7x7/2
+        stems as space-to-depth 4x4/1 convs (exact transforms). Adds a
+        "folded_params" collection which embed_visual_obs prefers on the
+        inference path; train-mode params are untouched."""
+        from .encoders.resnet import fold_resnet_params
+        folded = {name: fold_resnet_params(variables["params"][name],
+                                           variables["batch_stats"][name])
+                  for name in ("static_resnet", "gripper_resnet")}
+        return {**variables, "folded_params": folded}
+
     def quantize_for_inference(self, variables):
         """(Re)build the int8 "quant" collection from the current fp32
         expert params — call after loading a checkpoint when
@@ -206,10 +218,18 @@ class MoDEAgent:
         cond = latent_goal[:, 0] if latent_goal.ndim == 3 else latent_goal
         cond_rep = jnp.repeat(cond, T, axis=0) if T > 1 else cond
 
+        use_folded = not train and "folded_params" in variables
+
         def run(mod, name, imgs):
+            x = imgs.reshape((B * T,) + imgs.shape[2:])
+            if use_folded:
+                mod = (self.static_resnet_folded if name == "static_resnet"
+                       else self.gripper_resnet_folded)
+                v = {"params": variables["folded_params"][name]}
+                return mod.apply(v, x, cond_rep,
+                                 train=False).reshape(B, T, -1), None
             v = {"params": variables["params"][name],
                  "batch_stats": variables["batch_stats"][name]}
-            x = imgs.reshape((B * T,) + imgs.shape[2:])
             if train:
                 # rematerialize encoder activations in the backward pass —
                 # ResNet-50 at 224px dominates training HBM otherwise

@@ -48,10 +48,10 @@ RESNET_SPECS = {
 }
 
 
-def _conv(features, kernel, stride, name, dtype):
+def _conv(features, kernel, stride, name, dtype, use_bias=False):
     pad = kernel // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   padding=[(pad, pad), (pad, pad)], use_bias=use_bias,
                    name=name, dtype=dtype)
 
 
@@ -61,62 +61,136 @@ def _bn(name, dtype, axis_name):
                         axis_name=axis_name)
 
 
-class BasicBlock(nn.Module):
+# ---------------------------------------------------------------------------
+# Inference-time BatchNorm folding + space-to-depth stem
+#
+# ``folded=True`` modules consume params produced by ``fold_resnet_params``:
+# every conv absorbs its BatchNorm (kernel*scale, bias=beta-mean*scale) so the
+# inference graph is pure conv+bias, and the 7x7/2 stem is rewritten exactly
+# as a 4x4/1 conv on a 2x2 space-to-depth input (3 -> 12 input channels),
+# which maps far better onto the MXU (the raw stem runs at ~3/8 systolic
+# occupancy because of the 3-channel input).
+# ---------------------------------------------------------------------------
+
+def space_to_depth_2x2(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (r_h, r_w, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def fold_stem_kernel(w7: jax.Array) -> jax.Array:
+    """Exact rewrite of a 7x7 stride-2 pad-3 conv kernel [7,7,C,O] into the
+    equivalent 4x4 stride-1 kernel [4,4,4C,O] over a 2x2 space-to-depth input
+    (padding [(2,1),(2,1)]). Derivation: output o[i] = sum_k w[k] x[2i+k-3];
+    substituting x~[j,r] = x[2j+r] gives k = 2(n-2)+r+3 = 2n+r-1 for kernel
+    tap n in [0,4), i.e. the 7-tap kernel zero-padded to 8 and reshaped."""
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    kh, kw, C, O = w8.shape
+    w = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    return w.reshape(4, 4, 4 * C, O)
+
+
+def _fold_conv_bn(kernel, bn_params, bn_stats, eps=1e-5):
+    """Fold inference BatchNorm into the preceding conv: returns
+    (kernel * s, beta - mean * s) with s = gamma / sqrt(var + eps)."""
+    s = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    return kernel * s, bn_params["bias"] - bn_stats["mean"] * s
+
+
+def fold_resnet_params(params, batch_stats, eps=1e-5):
+    """Fold every conv+BN pair in an encoder params tree (FiLMResNetPolicy or
+    ResNetEncoderWithFiLM layout) and space-to-depth-transform the stem.
+    Non-conv leaves (FiLM Denses, fc head) pass through unchanged."""
+
+    def bn_for(name):
+        if name == "downsample_conv":
+            return "downsample_bn"
+        if name.startswith("conv"):
+            return "bn" + name[len("conv"):]
+        return None
+
+    def walk(p, s):
+        out = {}
+        for name, sub in p.items():
+            bn = bn_for(name)
+            if name.startswith("bn") or name == "downsample_bn":
+                continue
+            if bn is not None and bn in p:
+                k, b = _fold_conv_bn(sub["kernel"], p[bn], s[bn], eps)
+                out[name] = {"kernel": k, "bias": b}
+            elif isinstance(sub, dict) and "kernel" not in sub:
+                out[name] = walk(sub, s.get(name, {}) if isinstance(s, dict)
+                                 else {})
+            else:
+                out[name] = sub
+        return out
+
+    folded = walk(params, batch_stats)
+    trunk = folded["resnet"] if "resnet" in folded else folded
+    trunk["conv1"] = {"kernel": fold_stem_kernel(trunk["conv1"]["kernel"]),
+                      "bias": trunk["conv1"]["bias"]}
+    return folded
+
+
+class _BlockBase(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    folded: bool = False
+
+    def _cbn(self, x, features, kernel, stride, idx, train):
+        """conv{idx} -> bn{idx}, or the BN-folded conv+bias when folded."""
+        if self.folded:
+            return _conv(features, kernel, stride, f"conv{idx}", self.dtype,
+                         use_bias=True)(x)
+        out = _conv(features, kernel, stride, f"conv{idx}", self.dtype)(x)
+        return _bn(f"bn{idx}", self.dtype, self.axis_name)(
+            out, use_running_average=not train)
+
+    def _downsample(self, x, features, train):
+        if self.folded:
+            return _conv(features, 1, self.stride, "downsample_conv",
+                         self.dtype, use_bias=True)(x)
+        identity = _conv(features, 1, self.stride, "downsample_conv",
+                         self.dtype)(x)
+        return _bn("downsample_bn", self.dtype, self.axis_name)(
+            identity, use_running_average=not train)
+
+
+class BasicBlock(_BlockBase):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, film=None):
-        use_ra = not train
         identity = x
-        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
-        out = _bn("bn1", self.dtype, self.axis_name)(out, use_running_average=use_ra)
-        out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, "conv2", self.dtype)(out)
-        out = _bn("bn2", self.dtype, self.axis_name)(out, use_running_average=use_ra)
+        out = nn.relu(self._cbn(x, self.planes, 3, self.stride, 1, train))
+        out = self._cbn(out, self.planes, 3, 1, 2, train)
         if film is not None:
             # per-block FiLM: gamma*x + beta after bn2 (resnets.py:70-77)
             gamma, beta = film
             out = gamma[:, None, None, :] * out + beta[:, None, None, :]
         if self.has_downsample:
-            identity = _conv(self.planes, 1, self.stride, "downsample_conv",
-                             self.dtype)(x)
-            identity = _bn("downsample_bn", self.dtype, self.axis_name)(
-                identity, use_running_average=use_ra)
+            identity = self._downsample(x, self.planes, train)
         return nn.relu(out + identity)
 
 
-class Bottleneck(nn.Module):
-    planes: int
-    stride: int = 1
-    has_downsample: bool = False
-    dtype: Any = jnp.float32
-    axis_name: Optional[str] = None
+class Bottleneck(_BlockBase):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, film=None):
-        use_ra = not train
         identity = x
-        out = _conv(self.planes, 1, 1, "conv1", self.dtype)(x)
-        out = _bn("bn1", self.dtype, self.axis_name)(out, use_running_average=use_ra)
-        out = nn.relu(out)
+        out = nn.relu(self._cbn(x, self.planes, 1, 1, 1, train))
         # stride on the 3x3 (torchvision/timm v1.5 style)
-        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype)(out)
-        out = _bn("bn2", self.dtype, self.axis_name)(out, use_running_average=use_ra)
-        out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, 1, "conv3", self.dtype)(out)
-        out = _bn("bn3", self.dtype, self.axis_name)(out, use_running_average=use_ra)
+        out = nn.relu(self._cbn(out, self.planes, 3, self.stride, 2, train))
+        out = self._cbn(out, self.planes * 4, 1, 1, 3, train)
         if film is not None:
             gamma, beta = film
             out = gamma[:, None, None, :] * out + beta[:, None, None, :]
         if self.has_downsample:
-            identity = _conv(self.planes * 4, 1, self.stride, "downsample_conv",
-                             self.dtype)(x)
-            identity = _bn("downsample_bn", self.dtype, self.axis_name)(
-                identity, use_running_average=use_ra)
+            identity = self._downsample(x, self.planes * 4, train)
         return nn.relu(out + identity)
 
 
@@ -126,6 +200,7 @@ class ResNetBackbone(nn.Module):
     spec: ResNetSpec
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, stage_films=None,
@@ -135,8 +210,16 @@ class ResNetBackbone(nn.Module):
         list of per-block (gamma,beta) applied inside each block (scratch
         ResNet-18 style)."""
         use_ra = not train
-        x = _conv(64, 7, 2, "conv1", self.dtype)(x)
-        x = _bn("bn1", self.dtype, self.axis_name)(x, use_running_average=use_ra)
+        if self.folded:
+            # exact space-to-depth rewrite of the 7x7/2 stem + folded BN
+            x = space_to_depth_2x2(x)
+            x = nn.Conv(64, (4, 4), strides=(1, 1),
+                        padding=[(2, 1), (2, 1)], use_bias=True,
+                        name="conv1", dtype=self.dtype)(x)
+        else:
+            x = _conv(64, 7, 2, "conv1", self.dtype)(x)
+            x = _bn("bn1", self.dtype, self.axis_name)(
+                x, use_running_average=use_ra)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -152,6 +235,7 @@ class ResNetBackbone(nn.Module):
                 if block_films is not None:
                     film = block_films[s][b]
                 x = Block(width, stride, has_ds, self.dtype, self.axis_name,
+                          self.folded,
                           name=f"layer{s + 1}_{b}")(x, train=train, film=film)
                 in_ch = width * exp
             if stage_films is not None:
@@ -173,6 +257,7 @@ class FiLMResNetPolicy(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, condition, *, train: bool = False):
@@ -189,7 +274,8 @@ class FiLMResNetPolicy(nn.Module):
             beta = nn.Dense(ch, kernel_init=zeros, bias_init=zeros,
                             name=f"film{s + 1}_beta", dtype=self.dtype)(condition)
             films.append((gamma, beta))
-        x = ResNetBackbone(spec, self.dtype, self.axis_name, name="resnet")(
+        x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
+                           name="resnet")(
             x.astype(self.dtype), train=train, stage_films=films)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [B, out_dim]
 
@@ -221,6 +307,7 @@ class ResNetEncoderWithFiLM(nn.Module):
     latent_dim: int = 512
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, condition=None, *, train: bool = False):
@@ -241,7 +328,8 @@ class ResNetEncoderWithFiLM(nn.Module):
                 block_films.append(
                     FilmModule(width, self.dtype, name=f"film_module{s + 1}")(
                         condition))
-        x = ResNetBackbone(spec, self.dtype, self.axis_name, name="resnet")(
+        x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
+                           name="resnet")(
             x.astype(self.dtype), train=train, block_films=block_films)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.latent_dim, name="fc", dtype=self.dtype)(x)
