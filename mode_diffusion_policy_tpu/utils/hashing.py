@@ -102,6 +102,46 @@ if HAVE_NATIVE:
     super_fast_hash = _C.super_fast_hash
     lookup3_little = _C.lookup3_little
     lookup3 = _C.lookup3_little  # little-endian host (pyhash/__init__.py:30)
+    # full pyhash export surface (reference Hash.cpp:17-105); values verified
+    # bit-exact against the reference build in tests/test_hashing.py
+    murmur1_32 = _C.murmur1_32
+    murmur1_aligned_32 = _C.murmur1_aligned_32
+    murmur2a_32 = _C.murmur2a_32
+    murmur2_aligned_32 = _C.murmur2_aligned_32
+    murmur2_neutral_32 = _C.murmur2_neutral_32
+    murmur2_x86_64b = _C.murmur2_x86_64b
+    murmur3_x86_128 = _C.murmur3_x86_128
+    murmur3_x64_128 = _C.murmur3_x64_128
+    lookup3_big = _C.lookup3_big
+    city_32 = _C.city_32
+    city_64 = _C.city_64
+    city_128 = _C.city_128
+    city_crc_128 = _C.city_crc_128
+    city_fingerprint_256 = _C.city_fingerprint_256
+    spooky_32 = _C.spooky_32
+    spooky_64 = _C.spooky_64
+    spooky_128 = _C.spooky_128
+    farm_32 = _C.farm_32
+    farm_64 = _C.farm_64
+    farm_128 = _C.farm_128
+    farm_fingerprint_32 = _C.farm_fingerprint_32
+    farm_fingerprint_64 = _C.farm_fingerprint_64
+    farm_fingerprint_128 = _C.farm_fingerprint_128
+    metro_64_1 = _C.metro_64_1
+    metro_64_2 = _C.metro_64_2
+    metro_128_1 = _C.metro_128_1
+    metro_128_2 = _C.metro_128_2
+    metro_64_crc_1 = _C.metro_64_crc_1
+    metro_64_crc_2 = _C.metro_64_crc_2
+    metro_128_crc_1 = _C.metro_128_crc_1
+    metro_128_crc_2 = _C.metro_128_crc_2
+    mum_64 = _C.mum_64
+    t1ha2_atonce = _C.t1ha2_atonce
+    t1ha2_atonce128 = _C.t1ha2_atonce128
+    t1ha1_le = _C.t1ha1_le
+    t1ha1_be = _C.t1ha1_be
+    t1ha0 = _C.t1ha0
+    t1ha = _C.t1ha
 else:  # pragma: no cover
     fnv1_32 = _Fnv1_32
     fnv1a_32 = _Fnv1a_32

@@ -97,3 +97,85 @@ def test_validation_window_sizing():
     assert all(10 <= s <= 20 for s in sizes)
     assert sizes == [H.get_validation_window_size(i, 10, 20) for i in range(100)]
     assert len(set(sizes)) > 3  # actually varies
+
+
+def test_full_surface_golden_vectors():
+    """Every hasher in the pyhash export surface (reference Hash.cpp:17-105)
+    against 4800 golden vectors generated from the reference's vendored
+    algorithm sources (City/Spooky/farmhash-c/metro/mum/t1ha/Murmur/lookup3,
+    compiled with the reference's NDEBUG build semantics). Covers lengths
+    0..1200 across every block/tail code path and 3 seeds per width.
+
+    Pinned-portable divergences (documented in pyhashx.c): zero-seed
+    farm_32/farm_64 use the portable mk/xo variants (the reference's SIMD
+    build dispatches to variants farmhash itself documents as non-portable);
+    t1ha0 is pinned to t1ha2_atonce (the t1ha.h non-AES 64-bit LE mapping).
+    """
+    import gzip
+    import json
+    import pathlib
+
+    from mode_diffusion_policy_tpu.native import _pyhashx as px
+
+    path = pathlib.Path(__file__).parent / "data" / "hash_vectors.jsonl.gz"
+    pool = bytes((i * 131 + 7) & 0xFF for i in range(1200))
+    total = 0
+    algos = set()
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            rec = json.loads(line)
+            algo, ln = rec["algo"], rec["len"]
+            slo, shi = rec["seed"]
+            expect = 0
+            for i, w in enumerate(rec["val"]):
+                expect |= w << (64 * i)
+            h = getattr(px, algo)()
+            data = pool[:ln]
+            if "fingerprint" in algo:
+                got = h(data)
+            else:
+                got = h(data, seed=slo | (shi << 64))
+            assert got == expect, (algo, ln, slo, shi, got, expect)
+            algos.add(algo)
+            total += 1
+    assert total == 4800
+    assert len(algos) == 36  # distinct algos with stored vectors
+
+
+def test_full_surface_semantics():
+    """pyhash call-semantics parity for the new hashers: instance seeds,
+    128-bit seeds, multi-arg chaining with hash->seed narrowing
+    (Hash.h:167-173), and Fingerprinter list returns (Hash.h:177-217)."""
+    from mode_diffusion_policy_tpu.native import _pyhashx as px
+
+    # aliases share values with their implementation twins
+    assert px.murmur1_aligned_32()(b"abcdef") == px.murmur1_32()(b"abcdef")
+    assert px.murmur2_neutral_32()(b"abcdef") == px.murmur2_32()(b"abcdef")
+    assert px.t1ha0()(b"abcdef") == px.t1ha2_atonce()(b"abcdef")
+
+    # 128-bit instance seed round-trips and changes the hash
+    big_seed = (5 << 64) | 9
+    h = px.city_128(big_seed)
+    assert h.seed == big_seed
+    assert h(b"payload") == px.city_128()(b"payload", seed=big_seed)
+    assert h(b"payload") != px.city_128()(b"payload")
+
+    # chaining: value feeds the next call as seed, narrowed to seed width.
+    # metro's seed is uint32 so only the low 32 bits of the first hash chain
+    # (reference Hasher::CallWithArgs implicit conversion)
+    m = px.metro_64_1()
+    first = m(b"one")
+    assert m(b"one", b"two") == m(b"two", seed=first & 0xFFFFFFFF)
+    # 128-bit chain keeps the full value
+    c = px.city_128()
+    first = c(b"one")
+    assert c(b"one", b"two") == c(b"two", seed=first)
+
+    # fingerprinters: no seed accepted, multi-arg returns a list
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        px.farm_fingerprint_64(1)
+    fp = px.farm_fingerprint_64()
+    assert fp(b"a", b"b") == [fp(b"a"), fp(b"b")]
+    # 256-bit value is a full-width python int
+    assert px.city_fingerprint_256()(b"hello") > (1 << 128)
