@@ -40,7 +40,10 @@ def task_description_from_filename(path: str) -> str:
 
 
 class LiberoSequenceDataset:
-    """robomimic SequenceDataset semantics (frame_stack=1, pad_seq_length)."""
+    """robomimic SequenceDataset semantics (robomimic_dataset.py:18-155,
+    399-537): per-demo index maps with pad_frame_stack/pad_seq_length
+    offsets, repeat-padded windows, optional frame stacking, goal_mode
+    ("last" -> the demo's final observation as goal_obs) and next_obs."""
 
     OBS_KEYS = ("agentview_rgb", "eye_in_hand_rgb", "joint_states",
                 "gripper_states")
@@ -49,8 +52,16 @@ class LiberoSequenceDataset:
                  obs_seq_len: int = 1, obs_keys=None,
                  cache_all: bool = False,
                  task_description: Optional[str] = None,
-                 task_emb: Optional[np.ndarray] = None):
+                 task_emb: Optional[np.ndarray] = None,
+                 frame_stack: int = 1,
+                 pad_frame_stack: bool = True,
+                 pad_seq_length: bool = True,
+                 goal_mode: Optional[str] = None,
+                 load_next_obs: bool = False):
         import h5py
+        if goal_mode not in (None, "last"):
+            raise ValueError(f"unsupported goal_mode {goal_mode!r} "
+                             "(robomimic_dataset.py:105-110 allows 'last')")
         self.hdf5_path = str(hdf5_path)
         self.seq_len = seq_len
         self.obs_seq_len = obs_seq_len
@@ -58,6 +69,11 @@ class LiberoSequenceDataset:
         self.task_description = (task_description or
                                  task_description_from_filename(hdf5_path))
         self.task_emb = task_emb
+        self.frame_stack = int(frame_stack)
+        self.pad_frame_stack = pad_frame_stack
+        self.pad_seq_length = pad_seq_length
+        self.goal_mode = goal_mode
+        self.load_next_obs = load_next_obs
         self._h5 = None
         self._cache = None
 
@@ -68,10 +84,14 @@ class LiberoSequenceDataset:
             self.n_demos = len(demos)
             self._demo_lengths = [f[f"data/{d}/actions"].shape[0]
                                   for d in demos]
+        # robomimic_dataset.py:189-201: sequences per demo shrink when
+        # padding is disabled on either end
         self._index_to_demo = []
         self._index_in_demo = []
+        start_off = 0 if pad_frame_stack else self.frame_stack - 1
+        end_off = 0 if pad_seq_length else seq_len - 1
         for di, L in enumerate(self._demo_lengths):
-            for t in range(L):  # pad_seq_length=True: every frame starts a seq
+            for t in range(start_off, L - end_off):
                 self._index_to_demo.append(di)
                 self._index_in_demo.append(t)
         self.total_num_sequences = len(self._index_to_demo)
@@ -112,37 +132,69 @@ class LiberoSequenceDataset:
 
     @staticmethod
     def _window(arr, t: int, length: int) -> np.ndarray:
-        """[t : t+length] repeat-padded past the demo end (robomimic
-        get_sequence_from_demo padding)."""
+        """[t : t+length] repeat-padded on BOTH sides of the demo (robomimic
+        get_sequence_from_demo, robomimic_dataset.py:487-509: frame-stack
+        pads repeat the first frame, sequence pads repeat the last)."""
         L = arr.shape[0]
+        begin = max(0, t)
         end = min(t + length, L)
-        out = np.asarray(arr[t:end])
-        if end - t < length:
-            pad = np.repeat(out[-1:], length - (end - t), axis=0)
-            out = np.concatenate([out, pad], axis=0)
+        out = np.asarray(arr[begin:end])
+        if begin > t:   # frame-stack padding before the demo start
+            out = np.concatenate(
+                [np.repeat(out[:1], begin - t, axis=0), out], axis=0)
+        if end < t + length:
+            out = np.concatenate(
+                [out, np.repeat(out[-1:], t + length - end, axis=0)], axis=0)
         return out
+
+    def _obs_window(self, arrs, t: int, length: int, shift: int = 0):
+        """Observation window with frame stacking: [t-(fs-1)+shift,
+        t+length+shift). shift=1 emulates the robomimic next_obs group
+        (next_obs[t] == obs[t+1] by the robomimic data convention)."""
+        fs = self.frame_stack - 1
+        return {k: self._window(arrs[k], t - fs + shift, fs + length)
+                for k in self.obs_keys}
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         demo = self.demos[self._index_to_demo[idx]]
         t = self._index_in_demo[idx]
+        L = self._demo_lengths[self._index_to_demo[idx]]
         arrs = self._demo_arrays(demo)
         o = self.obs_seq_len
-        agent = self._window(arrs["agentview_rgb"], t, o).astype(np.uint8)
-        eye = self._window(arrs["eye_in_hand_rgb"], t, o).astype(np.uint8)
-        joints = self._window(arrs["joint_states"], t, o).astype(np.float32)
-        grip = self._window(arrs["gripper_states"], t, o).astype(np.float32)
+        obs = self._obs_window(arrs, t, o)
+        agent = obs["agentview_rgb"].astype(np.uint8)
+        eye = obs["eye_in_hand_rgb"].astype(np.uint8)
+        joints = obs["joint_states"].astype(np.float32)
+        grip = obs["gripper_states"].astype(np.float32)
         actions = self._window(arrs["actions"], t, self.seq_len
                                ).astype(np.float32)
+        T = agent.shape[0]      # obs_seq_len + frame_stack - 1
         # translation (libero_data_module.py:81-96)
         item = {
             "rgb_obs": {"rgb_static": agent, "rgb_gripper": eye},
             "depth_obs": {},
             "actions": actions,
             "robot_obs": np.concatenate(
-                [joints, np.repeat(grip[:1], o, axis=0)], axis=-1),
+                [joints, np.repeat(grip[:1], T, axis=0)], axis=-1),
             "lang_text": self.task_description,
             "idx": idx,
         }
+        if self.load_next_obs:
+            nobs = self._obs_window(arrs, t, o, shift=1)
+            item["next_obs"] = {
+                "rgb_static": nobs["agentview_rgb"].astype(np.uint8),
+                "rgb_gripper": nobs["eye_in_hand_rgb"].astype(np.uint8),
+            }
+        if self.goal_mode == "last":
+            # goal_index = end_index_in_demo - 1 (robomimic_dataset.py:432-434,
+            # 455-465): the final observation of the demo, no seq dim
+            end_index = L - (0 if self.pad_seq_length else self.seq_len - 1)
+            goal = {k: np.asarray(arrs[k][end_index - 1])
+                    for k in self.obs_keys}
+            item["goal_obs"] = {
+                "rgb_static": goal["agentview_rgb"].astype(np.uint8),
+                "rgb_gripper": goal["eye_in_hand_rgb"].astype(np.uint8),
+            }
         if self.task_emb is not None:
             item["lang"] = self.task_emb
         return item

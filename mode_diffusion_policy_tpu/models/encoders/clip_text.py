@@ -42,12 +42,14 @@ def quick_gelu(x):
 
 
 class CLIPAttention(nn.Module):
-    """Equivalent of torch nn.MultiheadAttention self-attention with a causal
-    mask (clip.py ResidualAttentionBlock)."""
+    """Equivalent of torch nn.MultiheadAttention self-attention; the text
+    tower uses a causal mask, the vision towers none
+    (clip.py ResidualAttentionBlock / Transformer attn_mask)."""
 
     width: int
     heads: int
     dtype: Any = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -60,8 +62,9 @@ class CLIPAttention(nn.Module):
         v = v.reshape(B, T, self.heads, hd)
         logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32)
         logits = logits / np.sqrt(hd)
-        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+            logits = jnp.where(mask[None, None], logits, -jnp.inf)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         y = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, C)
         return nn.Dense(C, name="out_proj", dtype=self.dtype)(y)
@@ -71,10 +74,12 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.float32
+    causal: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = x + CLIPAttention(self.width, self.heads, self.dtype, name="attn")(
+        x = x + CLIPAttention(self.width, self.heads, self.dtype, self.causal,
+                              name="attn")(
             nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x))
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
         h = nn.Dense(4 * self.width, name="c_fc", dtype=self.dtype)(h)

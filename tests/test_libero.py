@@ -183,3 +183,58 @@ def test_in_training_libero_rollout_disabled_without_libero():
         {"benchmark_name": "libero_10"}, lambda t: None,
         {"rgb_static": {"size": 16, "pad": 2},
          "rgb_gripper": {"size": 16, "pad": 2}}) is None
+
+
+def test_sequence_dataset_frame_stack_goal_next_obs(libero_root):
+    """robomimic frame_stack>1 / goal_mode='last' / next_obs semantics
+    (robomimic_dataset.py:399-537)."""
+    path = next((libero_root / "libero_10").glob("*.hdf5"))
+    ds = LiberoSequenceDataset(path, seq_len=10, obs_seq_len=1,
+                               frame_stack=3, goal_mode="last",
+                               load_next_obs=True)
+    with h5py.File(path, "r") as f:
+        agent = np.asarray(f["data/demo_0/obs/agentview_rgb"])
+
+    # frame 0: frame-stack pads repeat the first frame
+    item = ds[0]
+    rs = item["rgb_obs"]["rgb_static"]
+    assert rs.shape == (3, 24, 24, 3)   # fs-1 + obs_seq_len
+    np.testing.assert_array_equal(rs[0], agent[0])
+    np.testing.assert_array_equal(rs[1], agent[0])
+    np.testing.assert_array_equal(rs[2], agent[0])
+    assert item["robot_obs"].shape == (3, 9)
+
+    # mid-demo frame t=5: window is obs[3:6]
+    item5 = ds[5]
+    np.testing.assert_array_equal(item5["rgb_obs"]["rgb_static"],
+                                  agent[3:6])
+    # next_obs is the same window shifted by one (next_obs[t] == obs[t+1])
+    np.testing.assert_array_equal(item5["next_obs"]["rgb_static"],
+                                  agent[4:7])
+    # goal_obs is the final observation of the demo, no sequence dim
+    np.testing.assert_array_equal(item5["goal_obs"]["rgb_static"],
+                                  agent[-1])
+    ds.close()
+
+
+def test_sequence_dataset_padding_flags(libero_root):
+    """pad_frame_stack / pad_seq_length shrink the per-demo index range
+    (robomimic_dataset.py:189-201,412-421)."""
+    path = next((libero_root / "libero_10").glob("*.hdf5"))
+    # demo_len 15, 2 demos
+    ds = LiberoSequenceDataset(path, seq_len=10, frame_stack=3,
+                               pad_frame_stack=False)
+    assert len(ds) == 2 * (15 - 2)      # first fs-1 frames excluded
+    first = ds[0]
+    assert first["rgb_obs"]["rgb_static"].shape[0] == 3
+    ds.close()
+    ds = LiberoSequenceDataset(path, seq_len=10, pad_seq_length=False)
+    assert len(ds) == 2 * (15 - 9)      # last seq_len-1 starts excluded
+    # no end padding: last valid index still has 10 real actions
+    with h5py.File(path, "r") as f:
+        acts = np.asarray(f["data/demo_0/actions"])
+    np.testing.assert_array_equal(ds[5]["actions"], acts[5:15])
+    ds.close()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LiberoSequenceDataset(path, goal_mode="nope")
