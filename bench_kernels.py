@@ -140,8 +140,37 @@ def bench_encoder():
     print(f"2x resnet50 b=128 folded:   {t1*1e3:.2f} ms")
 
 
+def bench_moe():
+    """Fused top-2 MoE kernel variants at the flagship hot shape."""
+    from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import (
+        fused_top2_mlp, fused_top2_mlp_q8, fused_top2_mlp_q8c)
+    from mode_diffusion_policy_tpu.ops.quant import quantize_experts
+
+    E, D, H = 4, 1024, 4096
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((128, 14, D)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((E, D, 2 * H)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((E, 2 * H), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, H, D)) * 0.02, jnp.float32)
+    q = quantize_experts(w1, b1, w2)
+    idx = jnp.array([1, 3], jnp.int32)
+    p = jnp.array([0.6, 0.4], jnp.float32)
+    w1b, b1b, w2b = (w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16),
+                     w2.astype(jnp.bfloat16))
+
+    flops = 2 * 128 * 14 * D * 3 * H * 2
+    t = timeit(lambda x: fused_top2_mlp(x, idx, p, w1b, b1b, w2b), x,
+               iters=500)
+    print(f"moe bf16: {t*1e6:.0f} us ({flops/t/1e12:.0f} TF/s)")
+    t = timeit(lambda x: fused_top2_mlp_q8(x, idx, p, q), x, iters=500)
+    print(f"moe q8 (weight-only): {t*1e6:.0f} us")
+    t = timeit(lambda x: fused_top2_mlp_q8c(x, idx, p, q), x, iters=500)
+    print(f"moe q8c (int8 compute): {t*1e6:.0f} us")
+
+
+
 ALL = {"attn_proj": bench_attn_proj, "attn_core": bench_attn_core,
-       "encoder": bench_encoder}
+       "encoder": bench_encoder, "moe": bench_moe}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)

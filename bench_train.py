@@ -46,7 +46,15 @@ def main():
     cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
                           cond_dim=512, resnet_type="50", num_experts=4,
                           top_k=2, entropy_gamma=0.01, router_z_delta=0.001,
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16,
+                          # sort+ragged_dot top-2 MoE: loss/grad-equivalent
+                          # (tests/test_modedit_parity.py) but MEASURED
+                          # SLOWER at this scale (85.1 vs 80.0 ms/step @
+                          # b=32 — ragged_dot lowering overhead exceeds the
+                          # 2x MoE-FLOP saving when MoE is a minor share of
+                          # the step); off by default, see docs/PERF.md
+                          use_grouped_moe=os.environ.get(
+                              "BENCH_TRAIN_GROUPED", "0") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     variables = agent.init_variables(jax.random.PRNGKey(0),

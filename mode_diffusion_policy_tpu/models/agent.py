@@ -88,6 +88,7 @@ class MoDEAgentConfig:
     dtype: Any = jnp.float32
     use_pallas_moe: bool = False
     use_int8_moe: bool = False
+    use_grouped_moe: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -117,7 +118,8 @@ class MoDEAgentConfig:
             noise_in_cross_attention=self.noise_in_cross_attention,
             dtype=self.dtype,
             use_pallas_moe=self.use_pallas_moe,
-            use_int8_moe=self.use_int8_moe)
+            use_int8_moe=self.use_int8_moe,
+            use_grouped_moe=self.use_grouped_moe)
 
 
 class MoDEAgent:

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.primitives import RMSNorm, gumbel_topk_sample, swish_glu
-from ..ops.moe import moe_ffn_dense, moe_ffn_top2_gather
+from ..ops.moe import (moe_ffn_dense, moe_ffn_top2_gather,
+                       moe_ffn_topk_grouped)
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +88,9 @@ class MoDeDiTConfig:
                                    # ~1e-2 relative error per layer)
     use_pallas_moe: bool = False   # Pallas fused top-2 kernel on the
                                    # routing-precompute inference path
+    use_grouped_moe: bool = False  # sort+ragged_dot top-k compute on the
+                                   # train/eval routed path (k/E of the dense
+                                   # FLOPs; bit-equivalent weighted sum)
 
     @property
     def seq_size(self) -> int:
@@ -341,7 +345,8 @@ class NoiseBlockMoE(nn.Module):
             return x + out, None
 
         mask, idx, router_probs, probs, logits = self.router(x, c, train=train)
-        out = self._experts_out(x, router_probs.astype(dt), w1, b1, w2, train)
+        out = self._experts_out(x, router_probs.astype(dt), idx, w1, b1, w2,
+                                train)
         if cfg.use_shared_expert:
             out = out + self._shared_out(x, train=train)
         B, T, _ = x.shape
@@ -385,14 +390,30 @@ class NoiseBlockMoE(nn.Module):
             return fused_top2_mlp(x, idx, p, w1, b1, w2)
         return moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
-    def _experts_out(self, x, router_probs, w1, b1, w2, train):
+    def _experts_out(self, x, router_probs, idx, w1, b1, w2, train):
         """Routed-expert MoE output; expert dropout sits between SwishGLU and
         w2 in the reference Mlp — applied to the activation tensor here
         (train only, p=mlp_pdrop)."""
         cfg = self.cfg
         E_m = cfg.num_mlp_experts
         mlp_probs = router_probs[..., :E_m]
-        if not train or cfg.mlp_pdrop == 0.0:
+        if cfg.use_grouped_moe:
+            # top-k-only compute via sort + ragged_dot (ops/moe.py); identity
+            # selections are remapped to expert 0 with probability 0 so they
+            # contribute (and backpropagate) nothing through the GEMMs
+            pair_p = jnp.take_along_axis(router_probs, idx, axis=-1)
+            if cfg.identity_expert:
+                is_id = idx == E_m
+                safe_idx = jnp.where(is_id, 0, idx)
+                pair_p = jnp.where(is_id, jnp.zeros_like(pair_p), pair_p)
+            else:
+                safe_idx = idx
+            drop = None
+            if train and cfg.mlp_pdrop > 0.0:
+                drop = lambda a: self.mlp_drop(a, deterministic=False)  # noqa: E731
+            out = moe_ffn_topk_grouped(x, pair_p.astype(x.dtype), safe_idx,
+                                       w1, b1, w2, act_dropout=drop)
+        elif not train or cfg.mlp_pdrop == 0.0:
             out = moe_ffn_dense(x, mlp_probs, w1, b1, w2)
         else:
             h = jnp.einsum("btd,edh->ebth", x, w1) + b1[:, None, None, :]

@@ -49,6 +49,52 @@ def moe_ffn_dense(
     return out
 
 
+def moe_ffn_topk_grouped(
+    x: jax.Array,             # [B, T, D]
+    pair_probs: jax.Array,    # [B, T, k] — probability per selected slot
+    top_idx: jax.Array,       # [B, T, k] int32 selected expert ids
+    w1: jax.Array,            # [E, D, 2H]
+    b1: jax.Array,            # [E, 2H]
+    w2: jax.Array,            # [E, H, D]
+    *,
+    act_dropout=None,         # optional fn applied to the SwishGLU activations
+) -> jax.Array:
+    """Top-k MoE via sort + ``jax.lax.ragged_dot`` — computes ONLY the
+    selected experts (k/E of the dense FLOPs) and is exactly the same
+    weighted sum as ``moe_ffn_dense`` (non-selected probabilities are zero).
+
+    The TPU-native grouped-GEMM formulation: flatten (token, slot) pairs,
+    sort by expert id, run both SwishGLU projections as ragged dots over the
+    per-expert contiguous groups, then weight by the router probability and
+    scatter-add back per token. Fully differentiable (ragged_dot carries a
+    VJP; sort indices are integer). Replaces the reference's Python expert
+    loop + masked scatter-add (modedit.py:560-572) on the training path.
+    """
+    B, T, D = x.shape
+    E = w1.shape[0]
+    k = top_idx.shape[-1]
+    N = B * T
+    xf = x.reshape(N, D)
+    flat_e = top_idx.reshape(N * k)
+    pairs_p = pair_probs.reshape(N * k)
+    tok = jnp.repeat(jnp.arange(N), k)
+
+    order = jnp.argsort(flat_e)
+    tok_sorted = tok[order]
+    xs = jnp.take(xf, tok_sorted, axis=0)                     # [Nk, D]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    h = jax.lax.ragged_dot(xs, w1, group_sizes)
+    h = h + jnp.take(b1, flat_e[order], axis=0)
+    act = swish_glu(h)
+    if act_dropout is not None:
+        act = act_dropout(act)
+    eo = jax.lax.ragged_dot(act, w2, group_sizes)             # [Nk, D]
+    weighted = eo * pairs_p[order][:, None].astype(eo.dtype)
+    out = jnp.zeros((N, D), weighted.dtype).at[tok_sorted].add(weighted)
+    return out.reshape(B, T, D)
+
+
 def moe_ffn_top2_gather(
     x: jax.Array,            # [B, T, D]
     top2_idx: jax.Array,     # [2] int32 — expert ids (identical for all tokens

@@ -210,9 +210,12 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _quant_rows(x):
-    """Per-row symmetric int8 quantization: returns (int8 x, fp32 scale)."""
+    """Per-row symmetric int8 quantization: returns (int8 x, fp32 scale).
+    Divides by the scale via a per-row reciprocal multiply — elementwise
+    divides are multi-op on the VPU and this runs serialized between the two
+    MXU dots."""
     s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
     return q, s
 
 

@@ -352,3 +352,90 @@ def test_identity_expert_semantics():
         p["experts_w2"].astype(jnp.float32)))
     golden = h + mlp_out + rp[..., 3:] * h
     np.testing.assert_allclose(np.asarray(out), golden, atol=2e-4, rtol=1e-3)
+
+
+def test_grouped_moe_equals_dense():
+    """use_grouped_moe (sort + ragged_dot, top-k-only compute) must produce
+    the identical loss and parameter gradients as the dense-4 path — the
+    weighted sums are the same because non-selected probabilities are zero,
+    and cotangents on masked prob entries die at the mask Jacobian."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mode_diffusion_policy_tpu.models.modedit import (
+        MoDeDiT, MoDeDiTConfig, load_balancing_loss, router_z_loss)
+
+    base = MoDeDiTConfig(obs_dim=16, goal_dim=8, embed_dim=32, n_layers=2,
+                         n_heads=2, num_experts=4, top_k=2, mlp_pdrop=0.0,
+                         attn_pdrop=0.0, goal_drop=0.0)
+    rng = np.random.default_rng(0)
+    B = 3
+    states = {"state_images": jnp.asarray(
+        rng.standard_normal((B, 2, 16)), jnp.float32)}
+    actions = jnp.asarray(rng.standard_normal((B, 10, 7)), jnp.float32)
+    goals = jnp.asarray(rng.standard_normal((B, 1, 8)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.01, 5.0, (B,)), jnp.float32)
+
+    m0 = MoDeDiT(base)
+    m1 = MoDeDiT(dataclasses.replace(base, use_grouped_moe=True))
+    v = m0.init({"params": jax.random.PRNGKey(0)}, states, actions, goals,
+                sigma)
+
+    def loss(model, params):
+        pred, aux = model.apply(
+            {"params": params}, states, actions, goals, sigma,
+            train=True, return_aux=True,
+            rngs={"router": jax.random.PRNGKey(5),
+                  "dropout": jax.random.PRNGKey(6),
+                  "goal_mask": jax.random.PRNGKey(7)})
+        return (jnp.sum(pred ** 2) + load_balancing_loss(aux)
+                + 0.1 * router_z_loss(aux))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    assert abs(float(l0 - l1)) < 1e-5
+    errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree.leaves(errs)) < 1e-4, errs
+    # eval (no-precompute) path too
+    p0 = m0.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=False)
+    p1 = m1.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=False)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-5)
+
+
+def test_grouped_moe_identity_expert():
+    """Grouped path with identity_expert: identity selections contribute
+    p*x and nothing through the GEMMs (remapped to expert 0, prob 0)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mode_diffusion_policy_tpu.models.modedit import (MoDeDiT,
+                                                          MoDeDiTConfig)
+
+    base = MoDeDiTConfig(obs_dim=16, goal_dim=8, embed_dim=32, n_layers=1,
+                         n_heads=2, num_experts=4, top_k=2,
+                         identity_expert=True, mlp_pdrop=0.0,
+                         attn_pdrop=0.0, goal_drop=0.0)
+    rng = np.random.default_rng(1)
+    B = 4
+    states = {"state_images": jnp.asarray(
+        rng.standard_normal((B, 2, 16)), jnp.float32)}
+    actions = jnp.asarray(rng.standard_normal((B, 10, 7)), jnp.float32)
+    goals = jnp.asarray(rng.standard_normal((B, 1, 8)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.01, 5.0, (B,)), jnp.float32)
+    m0 = MoDeDiT(base)
+    m1 = MoDeDiT(dataclasses.replace(base, use_grouped_moe=True))
+    v = m0.init({"params": jax.random.PRNGKey(0)}, states, actions, goals,
+                sigma)
+    p0 = m0.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=False)
+    p1 = m1.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=False)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-5)
