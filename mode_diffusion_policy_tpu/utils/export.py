@@ -109,3 +109,57 @@ def push_to_hub(out_dir: str, repo_id: str, token: Optional[str] = None):
     api.create_repo(repo_id, exist_ok=True)
     api.upload_folder(folder_path=out_dir, repo_id=repo_id)
     logger.info("uploaded %s to %s", out_dir, repo_id)
+
+
+def main(argv=None):
+    """CLI: export an orbax training run to the HF safetensors layout
+    (reference save_to_hf.py:97-155). Usage:
+        python -m mode_diffusion_policy_tpu.utils.export \
+            --run-dir runs/mode_calvin --out-dir export/ [--repo-id user/x]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--run-dir", required=True,
+                    help="training run dir containing orbax checkpoints")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--repo-id", default=None,
+                    help="optional HF hub repo to upload to (needs network)")
+    ap.add_argument("--use-ema", action="store_true", default=True,
+                    help="export the EMA weights (reference behavior)")
+    ap.add_argument("--no-ema", dest="use_ema", action="store_false")
+    args = ap.parse_args(argv)
+
+    params = load_run_params(args.run_dir, use_ema=args.use_ema)
+    save_cleaned_checkpoint(params, args.out_dir)
+    if args.repo_id:
+        push_to_hub(args.out_dir, args.repo_id)
+
+
+def load_run_params(run_dir: str, use_ema: bool = True):
+    """Restore the best (else latest) orbax checkpoint of a training run as
+    a raw pytree and return its (EMA) params (Trainer layout:
+    {run_dir}/saved_models[/best])."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    base = os.path.join(os.path.abspath(run_dir), "saved_models")
+    for sub in (os.path.join(base, "best"), base):
+        if not os.path.isdir(sub):
+            continue
+        mngr = ocp.CheckpointManager(sub)
+        step = mngr.latest_step()
+        if step is None:
+            continue
+        raw = mngr.restore(step)
+        ema = raw.get("ema_params")
+        params = ema if (use_ema and ema) else raw["params"]
+        logger.info("restored step %d from %s (ema=%s)", step, sub,
+                    use_ema and bool(ema))
+        return params
+    raise FileNotFoundError(f"no orbax checkpoints under {base}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,3 +114,39 @@ def test_export_roundtrip(tmp_path):
     b = model.apply({"params": back}, x, jnp.ones((1, 10, 7)) * 0.1,
                     jnp.ones((1, 1, 8)), jnp.ones((1,)))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_export_cli_from_orbax_run(tmp_path):
+    """utils/export.py CLI: restore the best orbax checkpoint of a run and
+    write the HF model_cleaned.safetensors layout (save_to_hf.py:97-155)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.training.loop import CheckpointManager
+    from mode_diffusion_policy_tpu.training.optim import make_optimizer
+    from mode_diffusion_policy_tpu.training.state import TrainState
+    from mode_diffusion_policy_tpu.utils.export import load_run_params, main
+
+    cfg = MoDEAgentConfig(latent_dim=16, n_layers=1, n_heads=2, cond_dim=8,
+                          resnet_type="18")
+    agent = MoDEAgent(cfg)
+    variables = agent.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    opt, _ = make_optimizer(variables["params"], use_lr_scheduler=False)
+    state = TrainState.create(variables, opt, jax.random.PRNGKey(1))
+    run_dir = tmp_path / "run"
+    mgr = CheckpointManager(str(run_dir / "saved_models"), monitor="m",
+                            mode="max")
+    mgr.save(1, state, {"m": 1.0})
+
+    params = load_run_params(str(run_dir))
+    assert "inner_model" in params
+
+    out_dir = tmp_path / "export"
+    main(["--run-dir", str(run_dir), "--out-dir", str(out_dir)])
+    from safetensors.numpy import load_file
+    flat = load_file(out_dir / "model_cleaned.safetensors")
+    assert any(k.startswith("model.inner_model") or "inner_model" in k
+               or k for k in flat)
+    assert len(flat) > 5
