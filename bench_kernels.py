@@ -134,10 +134,17 @@ def bench_encoder():
         emb, _ = agent.embed_visual_obs(v, rs, rg, goal, train=False)
         return emb["state_images"]
 
+    q8 = agent.quantize_encoders_for_inference(folded)
+    calib = {"rgb_static": rs, "rgb_gripper": rg, "lang_emb": goal}
+    q8s = agent.quantize_encoders_for_inference(folded, calib_batch=calib)
     t0 = timeit(lambda rs: enc(rs, variables), rs, iters=30)
     t1 = timeit(lambda rs: enc(rs, folded), rs, iters=30)
-    print(f"2x resnet50 b=128 unfolded: {t0*1e3:.2f} ms")
-    print(f"2x resnet50 b=128 folded:   {t1*1e3:.2f} ms")
+    t2 = timeit(lambda rs: enc(rs, q8), rs, iters=30)
+    t3 = timeit(lambda rs: enc(rs, q8s), rs, iters=30)
+    print(f"2x resnet50 b=128 unfolded:    {t0*1e3:.2f} ms")
+    print(f"2x resnet50 b=128 folded:      {t1*1e3:.2f} ms")
+    print(f"2x resnet50 b=128 int8 dyn:    {t2*1e3:.2f} ms")
+    print(f"2x resnet50 b=128 int8 static: {t3*1e3:.2f} ms")
 
 
 def bench_moe():

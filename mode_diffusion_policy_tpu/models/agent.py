@@ -37,6 +37,12 @@ def _dit_vars(variables):
     if "quant" in variables:
         out["quant"] = variables["quant"]["inner_model"]
     return out
+
+
+def _tree_has_key(tree, key) -> bool:
+    if not isinstance(tree, dict):
+        return False
+    return key in tree or any(_tree_has_key(v, key) for v in tree.values())
 from .edm.densities import make_sample_density
 from .edm.samplers import sample_loop
 
@@ -131,16 +137,22 @@ class MoDEAgent:
         self.dit = MoDeDiT(cfg.dit_config())
         if cfg.resnet_type in ("34", "50"):
             depth = int(cfg.resnet_type)
-            mk = lambda folded: FiLMResNetPolicy(  # noqa: E731
-                cfg.cond_dim, depth=depth, dtype=cfg.dtype, folded=folded)
+            mk = lambda folded, **kw: FiLMResNetPolicy(  # noqa: E731
+                cfg.cond_dim, depth=depth, dtype=cfg.dtype, folded=folded,
+                **kw)
         else:
-            mk = lambda folded: ResNetEncoderWithFiLM(  # noqa: E731
-                cfg.cond_dim, latent_dim=512, dtype=cfg.dtype, folded=folded)
+            mk = lambda folded, **kw: ResNetEncoderWithFiLM(  # noqa: E731
+                cfg.cond_dim, latent_dim=512, dtype=cfg.dtype, folded=folded,
+                **kw)
+        self._mk_encoder = mk
         self.static_resnet = mk(False)
         self.gripper_resnet = mk(False)
         # BN-folded + space-to-depth-stem inference variants; consume params
         # produced by fold_encoders_for_inference (exact same math, better
-        # MXU mapping — see encoders/resnet.py)
+        # MXU mapping — see encoders/resnet.py). int8 variants on top of the
+        # folded graph (QuantConv, quantize_encoders_for_inference) are
+        # built on demand with the q8/q8_skip mode inferred from the param
+        # tree itself (see embed_visual_obs).
         self.static_resnet_folded = mk(True)
         self.gripper_resnet_folded = mk(True)
         self.sigmas = get_noise_schedule(
@@ -195,6 +207,44 @@ class MoDEAgent:
                   for name in ("static_resnet", "gripper_resnet")}
         return {**variables, "folded_params": folded}
 
+    def quantize_encoders_for_inference(self, variables, calib_batch=None,
+                                        headroom: float = 1.0, skip=()):
+        """int8-quantize the folded encoder convs (per-output-channel weights
+        + per-tensor activation quant; see encoders/resnet.py::QuantConv).
+        Adds a "q8_encoder_params" collection which embed_visual_obs prefers
+        over folded/raw params on the inference path.
+
+        Without ``calib_batch`` the activation scales are dynamic (max |x|
+        per call — accuracy-safe but the extra pass erases the int8 conv
+        win). With ``calib_batch`` — a dict with 'rgb_static', 'rgb_gripper'
+        [B,T,H,W,3] and 'lang_emb' — per-conv per-input-channel act_scale
+        params are calibrated from one dynamic forward (amax * headroom),
+        folded into the quantized kernels, and the fast static-scale modules
+        are used. Approximate either way — validate the end-to-end action
+        MAE for your checkpoint (docs/PERF.md)."""
+        from .encoders.resnet import quantize_resnet_params
+        if "folded_params" not in variables:
+            variables = self.fold_encoders_for_inference(variables)
+        skip = tuple(skip)
+        q = {name: quantize_resnet_params(variables["folded_params"][name],
+                                          skip=skip)
+             for name in ("static_resnet", "gripper_resnet")}
+        if calib_batch is None:
+            return {**variables, "q8_encoder_params": q}
+
+        cond = calib_batch["lang_emb"]
+        cond = cond[:, 0] if cond.ndim == 3 else cond
+        mod = self._mk_encoder(True, q8=True, q8_skip=skip)
+        for name, imgs in (("static_resnet", calib_batch["rgb_static"]),
+                           ("gripper_resnet", calib_batch["rgb_gripper"])):
+            x = imgs.reshape((-1,) + imgs.shape[2:])
+            _, calib = mod.apply({"params": q[name]}, x, cond, train=False,
+                                 mutable=["calib"])
+            q[name] = quantize_resnet_params(
+                variables["folded_params"][name],
+                act_amax=calib["calib"], headroom=headroom, skip=skip)
+        return {**variables, "q8_encoder_params": q}
+
     def quantize_for_inference(self, variables):
         """(Re)build the int8 "quant" collection from the current fp32
         expert params — call after loading a checkpoint when
@@ -220,10 +270,20 @@ class MoDEAgent:
         cond = latent_goal[:, 0] if latent_goal.ndim == 3 else latent_goal
         cond_rep = jnp.repeat(cond, T, axis=0) if T > 1 else cond
 
+        use_q8 = not train and "q8_encoder_params" in variables
         use_folded = not train and "folded_params" in variables
 
         def run(mod, name, imgs):
             x = imgs.reshape((B * T,) + imgs.shape[2:])
+            if use_q8:
+                from .encoders.resnet import infer_q8_skip
+                qp = variables["q8_encoder_params"][name]
+                static = _tree_has_key(qp, "act_scale")
+                mod = self._mk_encoder(True, q8="static" if static else True,
+                                       q8_skip=infer_q8_skip(qp))
+                v = {"params": qp}
+                return mod.apply(v, x, cond_rep,
+                                 train=False).reshape(B, T, -1), None
             if use_folded:
                 mod = (self.static_resnet_folded if name == "static_resnet"
                        else self.gripper_resnet_folded)

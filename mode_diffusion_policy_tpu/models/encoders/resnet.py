@@ -92,6 +92,138 @@ def fold_stem_kernel(w7: jax.Array) -> jax.Array:
     return w.reshape(4, 4, 4 * C, O)
 
 
+class QuantConv(nn.Module):
+    """int8 inference conv for the BN-folded path: per-output-channel int8
+    weights (``quantize_resnet_params``) + per-tensor symmetric activation
+    quantization, with the conv itself running int8 x int8 -> int32 on the
+    MXU (``preferred_element_type``). The dequant is a single fused
+    scale+bias epilogue.
+
+    Two activation-scale modes (measured on v5e, b=128 @224, docs/PERF.md):
+    dynamic (per-tensor max |x| per call) is accuracy-safe but the extra
+    reduction pass over every activation tensor erases the MXU win (18.6 vs
+    17.9 ms for the 2x-ResNet-50 stage); *static* uses per-INPUT-channel
+    ``act_scale`` params calibrated from a representative batch (the module
+    sows per-channel ``calib/act_amax`` in dynamic mode for this). The
+    channel scales are folded into the float kernel before weight
+    quantization (``quantize_resnet_params(act_amax=...)``), so the requant
+    is a single fusable per-channel multiply, the conv epilogue is just
+    ``y * w_scale + bias``, and the per-channel resolution costs nothing at
+    runtime. Trunk runs at 1.39x bf16 (12.96 vs 17.96 ms for the 2-encoder
+    stage)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: Any = None      # default: SAME-style kernel//2
+    dtype: Any = jnp.float32
+    static_act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k, O = self.kernel, self.features
+        C = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros, (k, k, C, O),
+                        jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (O,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
+        if self.static_act:
+            # per-input-channel amax from calibration; the matching 1/s_c is
+            # already folded into kernel_q, so dequant needs no sx factor
+            sx = self.param("act_scale", nn.initializers.ones, (C,),
+                            jnp.float32) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / sx)),
+                          -127, 127).astype(jnp.int8)
+            post = scale
+        else:
+            amax_c = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1))
+                             ).astype(jnp.float32)
+            self.sow("calib", "act_amax", amax_c,
+                     reduce_fn=lambda a, b: jnp.maximum(a, b) if a is not None
+                     else b, init_fn=lambda: None)
+            sx = jnp.maximum(jnp.max(amax_c), 1e-6) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / sx)),
+                          -127, 127).astype(jnp.int8)
+            post = sx * scale
+        pad = self.padding if self.padding is not None else [
+            (k // 2, k // 2)] * 2
+        y = jax.lax.conv_general_dilated(
+            xq, kq, window_strides=(self.stride, self.stride), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * post + bias).astype(self.dtype)
+
+
+def quantize_resnet_params(folded_params, act_amax=None,
+                           headroom: float = 1.0, skip=()):
+    """Quantize every folded conv kernel ([kh,kw,C,O] leaves) to symmetric
+    per-output-channel int8; FiLM/fc Denses (2-d kernels) pass through in
+    float. Consumed by the ``q8`` module variants.
+
+    With ``act_amax`` (a tree of per-input-channel calibration maxima as
+    sown by QuantConv dynamic mode, same nesting as the conv modules), the
+    per-channel activation scales ``s_c = amax_c * headroom / 127`` are
+    folded into each float kernel before weight quantization and stored as
+    ``act_scale`` params — producing params for the fast ``q8="static"``
+    modules.
+
+    ``skip`` holds stage-name prefixes ("stem", "layer1".."layer4") whose
+    convs stay in float — must match the module's ``q8_skip``."""
+
+    def _skipped(name, skip, at_trunk):
+        # the stem is the trunk-level "conv1"; blocks have their own conv1
+        return (at_trunk and "stem" in skip and name == "conv1") or (
+            at_trunk and any(name.startswith(s_) for s_ in skip
+                             if s_ != "stem"))
+
+    def walk(p, a, skip):
+        at_trunk = any(k.startswith("layer1") for k in p)
+        out = {}
+        for name, sub in p.items():
+            if _skipped(name, skip, at_trunk):
+                out[name] = sub
+            elif (isinstance(sub, dict) and "kernel" in sub
+                    and sub["kernel"].ndim == 4):
+                kf = sub["kernel"].astype(jnp.float32)
+                entry = {}
+                if a is not None and name in a:
+                    amax_c = jnp.maximum(
+                        jnp.asarray(a[name]["act_amax"], jnp.float32)
+                        * headroom, 1e-6)
+                    # fold s_c into the kernel: conv(w*s_c, x/s_c) == conv(w,x)
+                    kf = kf * (amax_c / 127.0)[None, None, :, None]
+                    entry["act_scale"] = amax_c
+                wmax = jnp.max(jnp.abs(kf), axis=(0, 1, 2))
+                s = jnp.maximum(wmax, 1e-12) / 127.0
+                q = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
+                entry.update(kernel_q=q, scale=s,
+                             bias=sub["bias"].astype(jnp.float32))
+                out[name] = entry
+            elif isinstance(sub, dict) and "kernel" not in sub:
+                out[name] = walk(sub, a.get(name) if isinstance(a, dict)
+                                 else None, skip)
+            else:
+                out[name] = sub
+        return out
+
+    return walk(folded_params, act_amax, tuple(skip))
+
+
+def infer_q8_skip(qparams) -> Tuple[str, ...]:
+    """Recover the ``skip`` stage list from a quantize_resnet_params tree
+    (skipped convs kept their float "kernel" leaf) so q8 param trees are
+    self-describing."""
+    trunk = qparams.get("resnet", qparams)
+    skip = []
+    if "kernel" in trunk.get("conv1", {}):
+        skip.append("stem")
+    for stage in ("layer1", "layer2", "layer3", "layer4"):
+        blocks = [v for k, v in trunk.items() if k.startswith(stage)]
+        if blocks and all("kernel" in b.get("conv1", {}) for b in blocks):
+            skip.append(stage)
+    return tuple(skip)
+
+
 def _fold_conv_bn(kernel, bn_params, bn_stats, eps=1e-5):
     """Fold inference BatchNorm into the preceding conv: returns
     (kernel * s, beta - mean * s) with s = gamma / sqrt(var + eps)."""
@@ -141,10 +273,16 @@ class _BlockBase(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     folded: bool = False
+    q8: Any = False           # False | True (dynamic act scales) | "static"
 
     def _cbn(self, x, features, kernel, stride, idx, train):
-        """conv{idx} -> bn{idx}, or the BN-folded conv+bias when folded."""
+        """conv{idx} -> bn{idx}, or the BN-folded conv+bias when folded
+        (int8 QuantConv when additionally q8)."""
         if self.folded:
+            if self.q8:
+                return QuantConv(features, kernel, stride,
+                                 name=f"conv{idx}", dtype=self.dtype,
+                                 static_act=self.q8 == "static")(x)
             return _conv(features, kernel, stride, f"conv{idx}", self.dtype,
                          use_bias=True)(x)
         out = _conv(features, kernel, stride, f"conv{idx}", self.dtype)(x)
@@ -153,6 +291,10 @@ class _BlockBase(nn.Module):
 
     def _downsample(self, x, features, train):
         if self.folded:
+            if self.q8:
+                return QuantConv(features, 1, self.stride,
+                                 name="downsample_conv", dtype=self.dtype,
+                                 static_act=self.q8 == "static")(x)
             return _conv(features, 1, self.stride, "downsample_conv",
                          self.dtype, use_bias=True)(x)
         identity = _conv(features, 1, self.stride, "downsample_conv",
@@ -201,6 +343,8 @@ class ResNetBackbone(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     folded: bool = False
+    q8: Any = False
+    q8_skip: Tuple[str, ...] = ()   # stage names kept float: "stem","layer1"..
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, stage_films=None,
@@ -213,9 +357,14 @@ class ResNetBackbone(nn.Module):
         if self.folded:
             # exact space-to-depth rewrite of the 7x7/2 stem + folded BN
             x = space_to_depth_2x2(x)
-            x = nn.Conv(64, (4, 4), strides=(1, 1),
-                        padding=[(2, 1), (2, 1)], use_bias=True,
-                        name="conv1", dtype=self.dtype)(x)
+            if self.q8 and "stem" not in self.q8_skip:
+                x = QuantConv(64, 4, 1, padding=[(2, 1), (2, 1)],
+                              name="conv1", dtype=self.dtype,
+                              static_act=self.q8 == "static")(x)
+            else:
+                x = nn.Conv(64, (4, 4), strides=(1, 1),
+                            padding=[(2, 1), (2, 1)], use_bias=True,
+                            name="conv1", dtype=self.dtype)(x)
         else:
             x = _conv(64, 7, 2, "conv1", self.dtype)(x)
             x = _bn("bn1", self.dtype, self.axis_name)(
@@ -234,8 +383,10 @@ class ResNetBackbone(nn.Module):
                 film = None
                 if block_films is not None:
                     film = block_films[s][b]
+                q8_b = (False if f"layer{s + 1}" in self.q8_skip
+                        else self.q8)
                 x = Block(width, stride, has_ds, self.dtype, self.axis_name,
-                          self.folded,
+                          self.folded, q8_b,
                           name=f"layer{s + 1}_{b}")(x, train=train, film=film)
                 in_ch = width * exp
             if stage_films is not None:
@@ -258,6 +409,8 @@ class FiLMResNetPolicy(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     folded: bool = False
+    q8: Any = False
+    q8_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, condition, *, train: bool = False):
@@ -275,7 +428,7 @@ class FiLMResNetPolicy(nn.Module):
                             name=f"film{s + 1}_beta", dtype=self.dtype)(condition)
             films.append((gamma, beta))
         x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
-                           name="resnet")(
+                           self.q8, self.q8_skip, name="resnet")(
             x.astype(self.dtype), train=train, stage_films=films)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [B, out_dim]
 
@@ -308,6 +461,8 @@ class ResNetEncoderWithFiLM(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     folded: bool = False
+    q8: Any = False
+    q8_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, condition=None, *, train: bool = False):
@@ -329,7 +484,7 @@ class ResNetEncoderWithFiLM(nn.Module):
                     FilmModule(width, self.dtype, name=f"film_module{s + 1}")(
                         condition))
         x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
-                           name="resnet")(
+                           self.q8, self.q8_skip, name="resnet")(
             x.astype(self.dtype), train=train, block_films=block_films)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.latent_dim, name="fc", dtype=self.dtype)(x)
