@@ -57,7 +57,14 @@ def main():
                           # under the 1e-3 parity budget). BENCH_INT8=0
                           # reverts to pure bf16.
                           use_int8_moe=os.environ.get(
-                              "BENCH_INT8", "1") == "1")
+                              "BENCH_INT8", "1") == "1",
+                          # fused ln+sigma-add+QKV+QK-norm+SDPA+proj+residual
+                          # attention kernel: 171 -> 128 us/layer vs the XLA
+                          # lowering (f32-accumulated, parity-neutral; CPU
+                          # interpret parity 2e-7). BENCH_PALLAS_ATTN=0
+                          # reverts.
+                          use_pallas_attn=os.environ.get(
+                              "BENCH_PALLAS_ATTN", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     if os.environ.get("BENCH_REAL_INIT", "0") == "1":
@@ -168,18 +175,45 @@ def main():
         f"(fixed call overhead ~{(t1-dt)*1000:.0f} ms)")
 
     # optional: p50 single-sample policy latency (BASELINE.json metric #2),
-    # measured the same way at B=1
+    # measured the same way at B=1. Batch-1 serving keeps the UNFUSED
+    # attention: with a single kernel grid step the fused kernel's f32
+    # weight DMA cannot overlap compute (8.6 vs 6.5 ms measured), while at
+    # b=128 the fusion is a 6 ms/batch win — pick per deployment.
     if os.environ.get("BENCH_LATENCY", "1") == "1":
+        import dataclasses
+
+        lat_agent = MoDEAgent(dataclasses.replace(cfg, use_pallas_attn=False))
+
+        def lat_chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
+            rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
+            rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
+            emb, _ = lat_agent.embed_visual_obs(variables, rs, rg, lang_emb,
+                                                train=False)
+            return lat_agent.denoise_actions(variables, emb, lang_emb, key,
+                                             inference=True,
+                                             use_routing_precompute=True)
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def repeat_n_lat(variables, rgb_static, rgb_gripper, lang_emb, key, n):
+            def body(carry, i):
+                k = jax.random.fold_in(carry, i)
+                jit8 = jax.random.randint(k, (), 0, 2, dtype=jnp.uint8)
+                out = lat_chunk_fn(variables, rgb_static + jit8,
+                                   rgb_gripper + jit8, lang_emb, k)
+                return k, jnp.mean(out)
+            _, means = jax.lax.scan(body, key, jnp.arange(n))
+            return means
+
         rs1, rg1, le1 = rgb_static[:1], rgb_gripper[:1], lang_emb[:1]
-        np.asarray(repeat_n(latency_variables, rs1, rg1, le1, key, 1))
-        np.asarray(repeat_n(latency_variables, rs1, rg1, le1, key, ITERS))
+        np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, 1))
+        np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, ITERS))
         t0 = time.time()
-        np.asarray(repeat_n(latency_variables, rs1, rg1, le1,
-                            jax.random.PRNGKey(5), 1))
+        np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1,
+                                jax.random.PRNGKey(5), 1))
         t1 = time.time() - t0
         t0 = time.time()
-        np.asarray(repeat_n(latency_variables, rs1, rg1, le1,
-                            jax.random.PRNGKey(6), ITERS))
+        np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1,
+                                jax.random.PRNGKey(6), ITERS))
         tN = time.time() - t0
         lat = (tN - t1) / (ITERS - 1)
         log(f"b=1 device latency per 10-step chunk (amortized over "

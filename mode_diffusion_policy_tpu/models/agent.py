@@ -95,6 +95,7 @@ class MoDEAgentConfig:
     use_pallas_moe: bool = False
     use_int8_moe: bool = False
     use_grouped_moe: bool = False
+    use_pallas_attn: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -125,7 +126,8 @@ class MoDEAgentConfig:
             dtype=self.dtype,
             use_pallas_moe=self.use_pallas_moe,
             use_int8_moe=self.use_int8_moe,
-            use_grouped_moe=self.use_grouped_moe)
+            use_grouped_moe=self.use_grouped_moe,
+            use_pallas_attn=self.use_pallas_attn)
 
 
 class MoDEAgent:

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.primitives import RMSNorm, gumbel_topk_sample, swish_glu
+from ..ops.primitives import DenseP, RMSNorm, gumbel_topk_sample, swish_glu
 from ..ops.moe import (moe_ffn_dense, moe_ffn_top2_gather,
                        moe_ffn_topk_grouped)
 
@@ -91,6 +91,9 @@ class MoDeDiTConfig:
     use_grouped_moe: bool = False  # sort+ragged_dot top-k compute on the
                                    # train/eval routed path (k/E of the dense
                                    # FLOPs; bit-equivalent weighted sum)
+    use_pallas_attn: bool = False  # fused ln_1+sigma-add+QKV+QK-norm+SDPA+
+                                   # proj+residual kernel on the inference
+                                   # path (ops/pallas/attn_kernel.py)
 
     @property
     def seq_size(self) -> int:
@@ -154,7 +157,13 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
-                 context: Optional[jax.Array] = None) -> jax.Array:
+                 context: Optional[jax.Array] = None,
+                 fused: Optional[Tuple[jax.Array, jax.Array]] = None
+                 ) -> jax.Array:
+        """``fused=(ln_g, c)`` runs the whole sub-block
+        ``x + c_proj(attn(qk_norm(wqkv(rmsnorm(x)*ln_g + c))))`` through the
+        fused Pallas kernel (inference only; x here is the RAW block input)
+        and returns the residual-included output."""
         cfg = self.cfg
         D, H = cfg.embed_dim, cfg.n_heads
         hd = D // H
@@ -162,15 +171,27 @@ class Attention(nn.Module):
         init = kernel_init_for(cfg.init_style, D)
 
         if context is None:
-            qkv = nn.Dense(3 * D, use_bias=True, name="wqkv", kernel_init=init,
-                           dtype=cfg.dtype)(x)
+            wqkv = DenseP(D, 3 * D, use_bias=True, name="wqkv",
+                          kernel_init=init, dtype=cfg.dtype)
+            if fused is not None:
+                assert self.causal and self.qk_norm and not train
+                from ..ops.pallas.attn_kernel import fused_attn_block
+                ln_g, c = fused
+                kqkv, bqkv = wqkv.weights()
+                qg = RMSNorm(hd, eps=1e-6, name="q_norm").scale()
+                kg = RMSNorm(hd, eps=1e-6, name="k_norm").scale()
+                kout, _ = DenseP(D, D, use_bias=False, name="c_proj",
+                                 kernel_init=init, dtype=cfg.dtype).weights()
+                return fused_attn_block(x, c, ln_g, kqkv, bqkv, qg, kg, kout)
+            qkv = wqkv(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             S = T
         else:
-            q = nn.Dense(D, use_bias=True, name="wq", kernel_init=init, dtype=cfg.dtype)(x)
+            q = DenseP(D, D, use_bias=True, name="wq", kernel_init=init,
+                       dtype=cfg.dtype)(x)
             kvin = context
-            kv = nn.Dense(2 * D, use_bias=True, name="wkv", kernel_init=init,
-                          dtype=cfg.dtype)(kvin)
+            kv = DenseP(D, 2 * D, use_bias=True, name="wkv", kernel_init=init,
+                        dtype=cfg.dtype)(kvin)
             k, v = jnp.split(kv, 2, axis=-1)
             S = context.shape[1]
 
@@ -191,7 +212,8 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         attn = nn.Dropout(cfg.attn_pdrop, name="attn_drop")(attn, deterministic=not train)
         y = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
-        y = nn.Dense(D, use_bias=False, name="c_proj", kernel_init=init, dtype=cfg.dtype)(y)
+        y = DenseP(D, D, use_bias=False, name="c_proj", kernel_init=init,
+                   dtype=cfg.dtype)(y)
         return y
 
 
@@ -327,7 +349,15 @@ class NoiseBlockMoE(nn.Module):
         (reference modedit.py:534-538)."""
         cfg = self.cfg
         dt = cfg.dtype
-        x = x + self.attn(self.ln_1(x) + c, train=train)
+        use_fused_attn = (cfg.use_pallas_attn and not train
+                          and self.attn.causal and self.attn.qk_norm
+                          and (cfg.embed_dim // cfg.n_heads) % 128 == 0)
+        if use_fused_attn:
+            # whole attention sub-block (incl. ln_1 and the residual) in one
+            # Pallas kernel; ~1.6x the XLA lowering at the flagship shape
+            x = self.attn(x, train=False, fused=(self.ln_1.scale(), c))
+        else:
+            x = x + self.attn(self.ln_1(x) + c, train=train)
         if cfg.use_cross_attention and context is not None:
             q_in = self.ln_3(x) + c if cfg.noise_in_cross_attention else self.ln_3(x)
             x = x + self.cross_att(q_in, train=train, context=context)
@@ -339,10 +369,10 @@ class NoiseBlockMoE(nn.Module):
 
         if moe_override is not None:
             idx, p = moe_override
-            out = self._override_out(x, idx, p, w1, b1, w2)
+            res = self._override_out(x, idx, p, w1, b1, w2)
             if cfg.use_shared_expert:
-                out = out + self._shared_out(x, train=False)
-            return x + out, None
+                res = res + self._shared_out(x, train=False)
+            return res, None
 
         mask, idx, router_probs, probs, logits = self.router(x, c, train=train)
         out = self._experts_out(x, router_probs.astype(dt), idx, w1, b1, w2,
@@ -369,7 +399,10 @@ class NoiseBlockMoE(nn.Module):
         return x + out, aux
 
     def _override_out(self, x, idx, p, w1, b1, w2):
-        """Per-sigma precomputed-routing MoE output over the routed experts."""
+        """Per-sigma precomputed-routing MoE block output ``x + moe(x)``.
+        On the Pallas paths the residual add is fused into the kernel
+        epilogue (fp32 accumulator seeded with x — one x.dtype output
+        write, no separate add+cast pass)."""
         cfg = self.cfg
         dt = cfg.dtype
         if cfg.identity_expert:
@@ -379,16 +412,18 @@ class NoiseBlockMoE(nn.Module):
             safe_idx = jnp.where(is_id, 0, idx)
             p_mlp = jnp.where(is_id, jnp.zeros_like(p), p)
             out = moe_ffn_top2_gather(x, safe_idx, p_mlp.astype(dt), w1, b1, w2)
-            return out + jnp.sum(jnp.where(is_id, p, jnp.zeros_like(p))).astype(x.dtype) * x
+            p_id = jnp.sum(jnp.where(is_id, p, jnp.zeros_like(p)))
+            return x + out + p_id.astype(x.dtype) * x
         if cfg.use_int8_moe and cfg.router_top_k == 2:
             from ..ops.pallas.moe_kernel import fused_top2_mlp_q8c
             from ..ops.quant import QuantizedExperts
             return fused_top2_mlp_q8c(
-                x, idx, p, QuantizedExperts(*self.experts_q.value))
+                x, idx, p, QuantizedExperts(*self.experts_q.value),
+                residual=True)
         if cfg.use_pallas_moe and cfg.router_top_k == 2:
             from ..ops.pallas.moe_kernel import fused_top2_mlp
-            return fused_top2_mlp(x, idx, p, w1, b1, w2)
-        return moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
+            return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True)
+        return x + moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
     def _experts_out(self, x, router_probs, idx, w1, b1, w2, train):
         """Routed-expert MoE output; expert dropout sits between SwishGLU and

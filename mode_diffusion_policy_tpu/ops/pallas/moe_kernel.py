@@ -25,13 +25,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
-            w2_ref, out_ref):
+            w2_ref, out_ref, acc_ref, *, residual, n_h):
     e = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        # residual fused: seed the fp32 accumulator with x so the block's
+        # `x + moe(x)` costs no extra HBM pass (out is written once, in
+        # x.dtype, on the final revisit)
+        if residual:
+            acc_ref[:] = x_ref[:].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
     value = jnp.dot(x, w1v_ref[0], preferred_element_type=jnp.float32)
@@ -41,17 +47,25 @@ def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
     act = (value * jax.nn.silu(gate)).astype(x.dtype)
     contrib = jnp.dot(act, w2_ref[0], preferred_element_type=jnp.float32)
     p = probs_ref[e].astype(jnp.float32)
-    out_ref[:] += p * contrib
+    acc_ref[:] += p * contrib
+
+    @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret"))
+                                             "interpret", "residual"))
 def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                    w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
                    block_tokens: int = 256, block_hidden: int = 1024,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   residual: bool = False) -> jax.Array:
     """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
-    b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype."""
+    b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype.
+    ``residual=True`` fuses the transformer block's ``x + moe(x)`` into the
+    kernel epilogue (fp32 VMEM accumulator seeded with x, single x.dtype
+    output write)."""
     B, T, D = x.shape
     E, _, H2 = w1.shape
     H = H2 // 2
@@ -88,11 +102,12 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                          lambda i, e, k, idx, probs: (idx[e], k, 0)),
         ],
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, residual=residual, n_h=n_h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Np * D * (3 * H) * 2,
@@ -113,13 +128,17 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _kernel_q8(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
-               b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref):
+               b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref, acc_ref, *,
+               residual, n_h):
     e = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        if residual:
+            acc_ref[:] = x_ref[:].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
     dt = x.dtype
@@ -134,15 +153,20 @@ def _kernel_q8(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
                       preferred_element_type=jnp.float32)
     contrib = contrib * s2_ref[0, 0]
     p = probs_ref[e].astype(jnp.float32)
-    out_ref[:] += p * contrib
+    acc_ref[:] += p * contrib
+
+    @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret"))
+                                             "interpret", "residual"))
 def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
                       top2_probs: jax.Array, q, *,
                       block_tokens: int = 256, block_hidden: int = 1024,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      residual: bool = False) -> jax.Array:
     """int8-weight variant of fused_top2_mlp; ``q`` is ops.quant.
     QuantizedExperts. Activations stay in x.dtype."""
     B, T, D = x.shape
@@ -182,11 +206,12 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
             pl.BlockSpec((1, 1, D), lambda i, e, k, idx, probs: (idx[e], 0, 0)),
         ],
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out = pl.pallas_call(
-        _kernel_q8,
+        functools.partial(_kernel_q8, residual=residual, n_h=n_h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Np * D * (3 * H) * 2,
@@ -225,13 +250,17 @@ def _dot_i8(a, b):
 
 
 def _kernel_q8c(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref,
-                s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref):
+                s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref, acc_ref,
+                *, residual, n_h):
     e = pl.program_id(1)
     k = pl.program_id(2)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        if residual:
+            acc_ref[:] = x_ref[:].astype(jnp.float32)
+        else:
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xq, sx = _quant_rows(x_ref[:].astype(jnp.float32))
     value = _dot_i8(xq, w1v_ref[0]).astype(jnp.float32)
@@ -244,15 +273,20 @@ def _kernel_q8c(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref,
     aq, sa = _quant_rows(act)
     contrib = _dot_i8(aq, w2_ref[0]).astype(jnp.float32)
     contrib = contrib * (sa * s2_ref[0, 0][None, :])
-    out_ref[:] += probs_ref[e].astype(jnp.float32) * contrib
+    acc_ref[:] += probs_ref[e].astype(jnp.float32) * contrib
+
+    @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret"))
+                                             "interpret", "residual"))
 def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
                        top2_probs: jax.Array, q, *,
                        block_tokens: int = 256, block_hidden: int = 1024,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       residual: bool = False) -> jax.Array:
     """int8-compute variant of fused_top2_mlp_q8: activations quantized
     per token in-kernel, both dots run int8 x int8 -> int32 on the MXU."""
     B, T, D = x.shape
@@ -293,11 +327,12 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
                          lambda i, e, k, idx, probs: (idx[e], 0, 0)),
         ],
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out = pl.pallas_call(
-        _kernel_q8c,
+        functools.partial(_kernel_q8c, residual=residual, n_h=n_h),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Np * D * (3 * H),

@@ -8,6 +8,8 @@ Behavioral parity targets (reference, cited for judge cross-check — not copied
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -25,14 +27,21 @@ class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-8
 
-    @nn.compact
+    def setup(self):
+        self.g = self.param("g", nn.initializers.ones, (self.dim,),
+                            jnp.float32)
+
     def __call__(self, x: jax.Array) -> jax.Array:
-        g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
         dtype = x.dtype
         x32 = x.astype(jnp.float32)
         norm = jnp.linalg.norm(x32, axis=-1, keepdims=True) * (self.dim ** -0.5)
-        out = x32 / jnp.maximum(norm, self.eps) * g
+        out = x32 / jnp.maximum(norm, self.eps) * self.g
         return out.astype(dtype)
+
+    def scale(self) -> jax.Array:
+        """The g parameter, for kernels that fuse this norm
+        (ops/pallas/attn_kernel.py)."""
+        return self.g
 
 
 def swish_glu(h: jax.Array) -> jax.Array:
@@ -71,3 +80,33 @@ def append_dims(x: jax.Array, target_ndim: int) -> jax.Array:
     if dims_to_append < 0:
         raise ValueError(f"input has {x.ndim} dims but target_ndim is {target_ndim}")
     return x[(...,) + (None,) * dims_to_append]
+
+
+class DenseP(nn.Module):
+    """nn.Dense-equivalent (same param names/shapes/init, same dtype
+    promotion) that also EXPOSES its parameters via ``weights()`` so fused
+    Pallas kernels (ops/pallas/attn_kernel.py) can consume them without
+    breaking checkpoint-converter param paths."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.in_features, self.features),
+                                 jnp.float32)
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.dot(x.astype(self.dtype), self.kernel.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.bias.astype(self.dtype)
+        return y
+
+    def weights(self):
+        return self.kernel, (self.bias if self.use_bias else None)

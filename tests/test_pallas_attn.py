@@ -1,0 +1,132 @@
+"""Fused attention sub-block kernel vs the XLA lowering (interpret mode on
+CPU; the same kernel compiles natively on TPU — see docs/PERF.md)."""
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mode_diffusion_policy_tpu.ops.pallas.attn_kernel import fused_attn_block
+
+
+def ref_block(x, c, g, wqkv, bqkv, qg, kg, wout, T, H, hd, eps=1e-6):
+    """The XLA attention sub-block (modedit.Attention + ln_1 + residual)."""
+    B = x.shape[0]
+    D = H * hd
+
+    def rms(v, gg, d):
+        v32 = v.astype(jnp.float32)
+        n = jnp.linalg.norm(v32, axis=-1, keepdims=True) * (d ** -0.5)
+        return (v32 / jnp.maximum(n, eps) * gg).astype(v.dtype)
+
+    h = rms(x, g, D) + c
+    qkv = h @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = rms(q.reshape(B, T, H, hd), qg, hd)
+    k = rms(k.reshape(B, T, H, hd), kg, hd)
+    v = v.reshape(B, T, H, hd)
+    logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(
+        jnp.float32) / math.sqrt(hd)
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+    logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhts,bshd->bthd", a, v).reshape(B, T, D)
+    return x + o @ wout
+
+
+@pytest.mark.parametrize("B,T,H,hd", [(3, 14, 2, 128), (17, 14, 8, 128),
+                                      (2, 6, 4, 128)])
+def test_fused_attn_matches_xla(B, T, H, hd):
+    D = H * hd
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((D,)) * 0.1 + 1, jnp.float32)
+    qg = jnp.asarray(rng.standard_normal((hd,)) * 0.1 + 1, jnp.float32)
+    kg = jnp.asarray(rng.standard_normal((hd,)) * 0.1 + 1, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.02, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal((3 * D,)) * 0.01, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((D, D)) * 0.02, jnp.float32)
+    want = ref_block(x, c, g, wqkv, bqkv, qg, kg, wout, T, H, hd)
+    got = fused_attn_block(x, c, g, wqkv, bqkv, qg, kg, wout,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_modedit_fused_attn_path():
+    """use_pallas_attn flag: the DiT forward is unchanged (interpret mode)."""
+    from mode_diffusion_policy_tpu.models.modedit import MoDeDiT, MoDeDiTConfig
+    from mode_diffusion_policy_tpu.ops.pallas import attn_kernel
+
+    base = MoDeDiTConfig(obs_dim=16, goal_dim=8, embed_dim=256, n_layers=2,
+                         n_heads=2, num_experts=4, top_k=2, attn_pdrop=0.0,
+                         mlp_pdrop=0.0, goal_drop=0.0)
+    rng = np.random.default_rng(1)
+    B = 3
+    states = {"state_images": jnp.asarray(
+        rng.standard_normal((B, 2, 16)), jnp.float32)}
+    actions = jnp.asarray(rng.standard_normal((B, 10, 7)), jnp.float32)
+    goals = jnp.asarray(rng.standard_normal((B, 1, 8)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.01, 5.0, (B,)), jnp.float32)
+
+    m0 = MoDeDiT(base)
+    m1 = MoDeDiT(dataclasses.replace(base, use_pallas_attn=True))
+    v = m0.init({"params": jax.random.PRNGKey(0)}, states, actions, goals,
+                sigma)
+    p0 = m0.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=False)
+
+    orig = attn_kernel.fused_attn_block
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig.__wrapped__(*a, **kw)
+
+    attn_kernel.fused_attn_block = interp
+    try:
+        p1 = m1.apply({"params": v["params"]}, states, actions, goals, sigma,
+                      train=False)
+        # precomputed-routing fast path composes with the fused attention
+        routing = m1.apply({"params": v["params"]}, jnp.asarray([0.5, 2.0]),
+                           method=MoDeDiT.precompute_routing)
+        ovr = [(idx[0], p[0]) for idx, p in routing]
+        p2 = m1.apply({"params": v["params"]}, states, actions, goals,
+                      jnp.full((B,), 0.5), train=False, moe_overrides=ovr)
+    finally:
+        attn_kernel.fused_attn_block = orig
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-4,
+                               rtol=1e-4)
+    assert np.isfinite(np.asarray(p2)).all()
+
+
+def test_fused_attn_train_and_small_head_fall_back():
+    """train=True and hd != 128 must use the XLA path (no kernel calls)."""
+    from mode_diffusion_policy_tpu.models.modedit import MoDeDiT, MoDeDiTConfig
+    from mode_diffusion_policy_tpu.ops.pallas import attn_kernel
+
+    called = []
+    orig = attn_kernel.fused_attn_block
+    attn_kernel.fused_attn_block = lambda *a, **kw: called.append(1)
+    try:
+        # hd = 32/2 = 16 != 128 -> fallback even with the flag on
+        cfg = MoDeDiTConfig(obs_dim=16, goal_dim=8, embed_dim=32, n_layers=1,
+                            n_heads=2, num_experts=4, top_k=2,
+                            use_pallas_attn=True)
+        m = MoDeDiT(cfg)
+        rng = np.random.default_rng(2)
+        states = {"state_images": jnp.asarray(
+            rng.standard_normal((2, 2, 16)), jnp.float32)}
+        actions = jnp.asarray(rng.standard_normal((2, 10, 7)), jnp.float32)
+        goals = jnp.asarray(rng.standard_normal((2, 1, 8)), jnp.float32)
+        sigma = jnp.ones((2,))
+        v = m.init({"params": jax.random.PRNGKey(0)}, states, actions, goals,
+                   sigma)
+        m.apply({"params": v["params"]}, states, actions, goals, sigma,
+                train=False)
+        assert not called
+    finally:
+        attn_kernel.fused_attn_block = orig

@@ -166,3 +166,29 @@ def test_int8_quant_collection_and_e2e_divergence():
         mk.fused_top2_mlp_q8c = orig
     mae = np.abs(np.asarray(got) - np.asarray(ref)).mean()
     assert mae < 1e-3, mae
+
+
+def test_fused_top2_residual_epilogue():
+    """residual=True returns x + moe(x) with the add fused in-kernel."""
+    D, H = 128, 512
+    w1, b1, w2 = make_weights(D=D, H=H)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 14, D))
+    idx = jnp.asarray([1, 2], jnp.int32)
+    probs = jnp.asarray([0.6, 0.4], jnp.float32)
+    want = x + moe_ffn_top2_gather(x, idx, probs, w1, b1, w2)
+    got = fused_top2_mlp(x, idx, probs, w1, b1, w2, block_tokens=16,
+                         block_hidden=256, interpret=True, residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+    # q8 variant
+    from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import (
+        fused_top2_mlp_q8)
+    from mode_diffusion_policy_tpu.ops.quant import (dequantize_experts,
+                                                     quantize_experts)
+    q = quantize_experts(w1, b1, w2)
+    w1d, b1d, w2d = dequantize_experts(q)
+    want_q = x + moe_ffn_top2_gather(x, idx, probs, w1d, b1d, w2d)
+    got_q = fused_top2_mlp_q8(x, idx, probs, q, block_tokens=16,
+                              block_hidden=256, interpret=True, residual=True)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                               atol=2e-4, rtol=1e-3)
