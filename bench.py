@@ -64,7 +64,15 @@ def main():
                           # interpret parity 2e-7). BENCH_PALLAS_ATTN=0
                           # reverts.
                           use_pallas_attn=os.environ.get(
-                              "BENCH_PALLAS_ATTN", "1") == "1")
+                              "BENCH_PALLAS_ATTN", "1") == "1",
+                          # int8 wqkv/c_proj inside the fused attention
+                          # kernel (107 vs 135 us/layer) — e2e action MAE
+                          # 5.2e-3 vs bf16, OVER the 1e-3 parity budget
+                          # (attention error scales with the full activation,
+                          # unlike the MoE contribution), so opt-in like the
+                          # int8 encoders (docs/PERF.md).
+                          use_int8_attn=os.environ.get(
+                              "BENCH_INT8_ATTN", "0") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     if os.environ.get("BENCH_REAL_INIT", "0") == "1":

@@ -96,6 +96,7 @@ class MoDEAgentConfig:
     use_int8_moe: bool = False
     use_grouped_moe: bool = False
     use_pallas_attn: bool = False
+    use_int8_attn: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -127,7 +128,8 @@ class MoDEAgentConfig:
             use_pallas_moe=self.use_pallas_moe,
             use_int8_moe=self.use_int8_moe,
             use_grouped_moe=self.use_grouped_moe,
-            use_pallas_attn=self.use_pallas_attn)
+            use_pallas_attn=self.use_pallas_attn,
+            use_int8_attn=self.use_int8_attn)
 
 
 class MoDEAgent:
@@ -249,15 +251,25 @@ class MoDEAgent:
 
     def quantize_for_inference(self, variables):
         """(Re)build the int8 "quant" collection from the current fp32
-        expert params — call after loading a checkpoint when
-        cfg.use_int8_moe is set."""
-        from ..ops.quant import quantize_experts
+        params — call after loading a checkpoint when cfg.use_int8_moe /
+        cfg.use_int8_attn are set."""
+        from ..ops.quant import quantize_attn, quantize_experts
         quant = {}
         for name, layer in variables["params"]["inner_model"].items():
-            if isinstance(layer, dict) and "experts_w1" in layer:
-                quant[name] = {"experts_q": tuple(quantize_experts(
+            if not isinstance(layer, dict):
+                continue
+            entry = {}
+            if "experts_w1" in layer and self.cfg.use_int8_moe:
+                entry["experts_q"] = tuple(quantize_experts(
                     layer["experts_w1"], layer["experts_b1"],
-                    layer["experts_w2"]))}
+                    layer["experts_w2"]))
+            if "attn" in layer and self.cfg.use_int8_attn:
+                a = layer["attn"]
+                entry["attn"] = {"attn_q": tuple(quantize_attn(
+                    a["wqkv"]["kernel"], a["wqkv"]["bias"],
+                    a["c_proj"]["kernel"]))}
+            if entry:
+                quant[name] = entry
         return {**variables, "quant": {"inner_model": quant}}
 
     # ------------------------------------------------------------------

@@ -94,6 +94,9 @@ class MoDeDiTConfig:
     use_pallas_attn: bool = False  # fused ln_1+sigma-add+QKV+QK-norm+SDPA+
                                    # proj+residual kernel on the inference
                                    # path (ops/pallas/attn_kernel.py)
+    use_int8_attn: bool = False    # int8 wqkv/c_proj projections inside the
+                                   # fused attention kernel (per-row act
+                                   # quant in VMEM; requires use_pallas_attn)
 
     @property
     def seq_size(self) -> int:
@@ -170,18 +173,34 @@ class Attention(nn.Module):
         B, T, _ = x.shape
         init = kernel_init_for(cfg.init_style, D)
 
+        cproj = DenseP(D, D, use_bias=False, name="c_proj",
+                       kernel_init=init, dtype=cfg.dtype)
         if context is None:
             wqkv = DenseP(D, 3 * D, use_bias=True, name="wqkv",
                           kernel_init=init, dtype=cfg.dtype)
+            qa = None
+            if cfg.use_int8_attn and self.qk_norm:
+                # int8 projection weights, quantized ONCE into the "quant"
+                # collection (rebuild post-checkpoint-load via
+                # MoDEAgent.quantize_for_inference)
+                from ..ops.quant import QuantizedAttn, quantize_attn
+                kqkv, bqkv = wqkv.weights()
+                kout, _ = cproj.weights()
+                qa_var = self.variable(
+                    "quant", "attn_q",
+                    lambda: tuple(quantize_attn(kqkv, bqkv, kout)))
+                qa = QuantizedAttn(*qa_var.value)
             if fused is not None:
                 assert self.causal and self.qk_norm and not train
-                from ..ops.pallas.attn_kernel import fused_attn_block
                 ln_g, c = fused
-                kqkv, bqkv = wqkv.weights()
                 qg = RMSNorm(hd, eps=1e-6, name="q_norm").scale()
                 kg = RMSNorm(hd, eps=1e-6, name="k_norm").scale()
-                kout, _ = DenseP(D, D, use_bias=False, name="c_proj",
-                                 kernel_init=init, dtype=cfg.dtype).weights()
+                if qa is not None:
+                    from ..ops.pallas.attn_kernel import fused_attn_block_q8
+                    return fused_attn_block_q8(x, c, ln_g, qa, qg, kg)
+                from ..ops.pallas.attn_kernel import fused_attn_block
+                kqkv, bqkv = wqkv.weights()
+                kout, _ = cproj.weights()
                 return fused_attn_block(x, c, ln_g, kqkv, bqkv, qg, kg, kout)
             qkv = wqkv(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -212,9 +231,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         attn = nn.Dropout(cfg.attn_pdrop, name="attn_drop")(attn, deterministic=not train)
         y = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
-        y = DenseP(D, D, use_bias=False, name="c_proj", kernel_init=init,
-                   dtype=cfg.dtype)(y)
-        return y
+        return cproj(y)
 
 
 # ---------------------------------------------------------------------------
@@ -361,19 +378,27 @@ class NoiseBlockMoE(nn.Module):
         if cfg.use_cross_attention and context is not None:
             q_in = self.ln_3(x) + c if cfg.noise_in_cross_attention else self.ln_3(x)
             x = x + self.cross_att(q_in, train=train, context=context)
-        x = self.ln_2(x)
-
         w1 = self.w1.astype(dt)
         b1 = self.b1.astype(dt)
         w2 = self.w2.astype(dt)
 
         if moe_override is not None:
             idx, p = moe_override
+            fuse_ln = ((cfg.use_int8_moe or cfg.use_pallas_moe)
+                       and cfg.router_top_k == 2 and not cfg.identity_expert
+                       and not cfg.use_shared_expert)
+            if fuse_ln:
+                # ln_2 fused into the MoE kernel: x goes in RAW, the kernel
+                # normalizes in VMEM (x never re-materializes normed)
+                return self._override_out(x, idx, p, w1, b1, w2,
+                                          ln_g=self.ln_2.scale()), None
+            x = self.ln_2(x)
             res = self._override_out(x, idx, p, w1, b1, w2)
             if cfg.use_shared_expert:
                 res = res + self._shared_out(x, train=False)
             return res, None
 
+        x = self.ln_2(x)
         mask, idx, router_probs, probs, logits = self.router(x, c, train=train)
         out = self._experts_out(x, router_probs.astype(dt), idx, w1, b1, w2,
                                 train)
@@ -398,13 +423,15 @@ class NoiseBlockMoE(nn.Module):
         }
         return x + out, aux
 
-    def _override_out(self, x, idx, p, w1, b1, w2):
+    def _override_out(self, x, idx, p, w1, b1, w2, ln_g=None):
         """Per-sigma precomputed-routing MoE block output ``x + moe(x)``.
         On the Pallas paths the residual add is fused into the kernel
         epilogue (fp32 accumulator seeded with x — one x.dtype output
-        write, no separate add+cast pass)."""
+        write, no separate add+cast pass); with ``ln_g`` the block's ln_2
+        is fused in as well (x arrives RAW, normalized in VMEM)."""
         cfg = self.cfg
         dt = cfg.dtype
+        assert ln_g is None or (cfg.use_int8_moe or cfg.use_pallas_moe)
         if cfg.identity_expert:
             # the last routed expert is a passthrough with no weights: gather
             # the MLP experts with its probability zeroed, add p_id * x
@@ -419,10 +446,11 @@ class NoiseBlockMoE(nn.Module):
             from ..ops.quant import QuantizedExperts
             return fused_top2_mlp_q8c(
                 x, idx, p, QuantizedExperts(*self.experts_q.value),
-                residual=True)
+                residual=True, ln_g=ln_g)
         if cfg.use_pallas_moe and cfg.router_top_k == 2:
             from ..ops.pallas.moe_kernel import fused_top2_mlp
-            return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True)
+            return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True,
+                                  ln_g=ln_g)
         return x + moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
     def _experts_out(self, x, router_probs, idx, w1, b1, w2, train):

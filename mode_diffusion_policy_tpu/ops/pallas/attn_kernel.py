@@ -165,3 +165,141 @@ def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
         ),
     )(xf, cf, ln_g[None, :], wqkv, bqkv[None, :], qgt, kgt, wout)
     return out.reshape(Bp, T, D)[:B]
+
+
+# ---------------------------------------------------------------------------
+# int8 x int8 projection variant: wqkv and c_proj run as native int8 MXU dots
+# with per-row dynamic activation quantization that never leaves VMEM. The
+# per-head QK-RMSNorm divides the q/k scale errors back out (only direction
+# error survives), and the scores/AV dots stay in the compute dtype.
+# Weight DMA drops 4x vs f32 (16.6 -> 4.2 MB per call at the hot shape).
+# ---------------------------------------------------------------------------
+
+
+def _qrows(x):
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kernel_q8(x_ref, c_ref, lng_ref, wqkv_ref, sqkv_ref, bqkv_ref, qgt_ref,
+               kgt_ref, wout_ref, sout_ref, out_ref, *, T, H, hd, eps_ln,
+               eps_qk, scale):
+    D = H * hd
+    TM = x_ref.shape[0]
+    dt = x_ref.dtype
+    x32 = x_ref[:].astype(jnp.float32)
+
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=1, keepdims=True)) * (D ** -0.5)
+    h = x32 / jnp.maximum(norm, eps_ln) * lng_ref[0].astype(jnp.float32)
+    h = h + c_ref[:].astype(jnp.float32)
+
+    hq, hs = _qrows(h)
+    qkv = jax.lax.dot_general(hq, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = qkv.astype(jnp.float32) * (hs * sqkv_ref[0][None, :]) \
+        + bqkv_ref[0].astype(jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+    head_id = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    onehot = (col_head == head_id).astype(jnp.float32)
+
+    def headnorm(a, g_tiled):
+        ss = jnp.dot(a * a, onehot)
+        n = jnp.sqrt(ss) * (hd ** -0.5)
+        inv = 1.0 / jnp.maximum(n, eps_qk)
+        rows = jnp.dot(inv, onehot.T)
+        return a * rows * g_tiled[0].astype(jnp.float32)
+
+    qn = headnorm(q, qgt_ref).astype(dt)
+    kn = headnorm(k, kgt_ref).astype(dt)
+    v = v.astype(dt)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 1)
+    allowed = jnp.logical_and(ri // T == ci // T, ri % T >= ci % T)
+
+    outs = []
+    for h_i in range(H):
+        sl = slice(h_i * hd, (h_i + 1) * hd)
+        sc = jax.lax.dot_general(qn[:, sl], kn[:, sl],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(allowed, sc, -1e30)
+        a = jax.nn.softmax(sc, axis=1).astype(dt)
+        outs.append(jnp.dot(a, v[:, sl], preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=1)                    # [TM, D] f32
+
+    oq, os_ = _qrows(o)
+    y = jax.lax.dot_general(oq, wout_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (os_ * sout_ref[0][None, :])
+    out_ref[:] = (x32 + y).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_samples", "interpret",
+                                             "ln_eps", "qk_eps"))
+def fused_attn_block_q8(x: jax.Array, c: jax.Array, ln_g: jax.Array,
+                        qa, q_g: jax.Array, k_g: jax.Array, *,
+                        block_samples: int = 16, ln_eps: float = 1e-6,
+                        qk_eps: float = 1e-6,
+                        interpret: bool = False) -> jax.Array:
+    """int8-projection variant of fused_attn_block; ``qa`` is
+    ops.quant.QuantizedAttn."""
+    B, T, D = x.shape
+    hd = q_g.shape[-1]
+    H = D // hd
+
+    S = block_samples
+    while (S * T) % 8 != 0 and S > 1:
+        S -= 1
+    if B < S:
+        S_small = 1
+        while (S_small * T) % 8 != 0 or S_small < B:
+            S_small += 1
+        S = S_small
+    Bp = -(-B // S) * S
+    if Bp != B:
+        x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        c_in = jnp.pad(jnp.broadcast_to(c, (B, T, D)),
+                       ((0, Bp - B), (0, 0), (0, 0)))
+    else:
+        x_in = x
+        c_in = jnp.broadcast_to(c, (B, T, D))
+    N = Bp * T
+    TM = S * T
+    xf = x_in.reshape(N, D)
+    cf = c_in.reshape(N, D).astype(x.dtype)
+    qgt = jnp.tile(q_g.astype(jnp.float32), H)[None, :]
+    kgt = jnp.tile(k_g.astype(jnp.float32), H)[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8, T=T, H=H, hd=hd, eps_ln=ln_eps,
+                          eps_qk=qk_eps, scale=float(1.0 / np.sqrt(hd))),
+        grid=(N // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((D, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * D * (4 * D) + 2 * N * TM * D * 2,
+            bytes_accessed=4 * D * D + N * D * 2 * x.dtype.itemsize,
+            transcendentals=N * TM * H,
+        ),
+    )(xf, cf, ln_g[None, :], qa.wqkv_q, qa.wqkv_s[None, :],
+      qa.bqkv[None, :], qgt, kgt, qa.wout_q, qa.wout_s[None, :])
+    return out.reshape(Bp, T, D)[:B]

@@ -24,22 +24,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
-            w2_ref, out_ref, acc_ref, *, residual, n_h):
+def _prenorm(x_ref, lng_ref, ln_input, eps=1e-6):
+    """Optional fused pre-RMSNorm (the block's ln_2): x is loaded raw and
+    normalized in VMEM, recomputed per revisit (VPU-trivial) so the norm
+    never makes an HBM round trip."""
+    if not ln_input:
+        return x_ref[:]
+    x32 = x_ref[:].astype(jnp.float32)
+    D = x32.shape[1]
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=1, keepdims=True)) * (D ** -0.5)
+    xn = x32 / jnp.maximum(norm, eps) * lng_ref[0].astype(jnp.float32)
+    return xn.astype(x_ref.dtype)
+
+
+def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
+            b1g_ref, w2_ref, out_ref, acc_ref, *, residual, n_h, ln_input):
     e = pl.program_id(1)
     k = pl.program_id(2)
+    x = _prenorm(x_ref, lng_ref, ln_input)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
-        # residual fused: seed the fp32 accumulator with x so the block's
-        # `x + moe(x)` costs no extra HBM pass (out is written once, in
-        # x.dtype, on the final revisit)
+        # residual fused: seed the fp32 accumulator with (normed) x so the
+        # block's `x + moe(x)` costs no extra HBM pass (out is written once,
+        # in x.dtype, on the final revisit)
         if residual:
-            acc_ref[:] = x_ref[:].astype(jnp.float32)
+            acc_ref[:] = x.astype(jnp.float32)
         else:
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]
     value = jnp.dot(x, w1v_ref[0], preferred_element_type=jnp.float32)
     value = value + b1v_ref[0, 0].astype(jnp.float32)
     gate = jnp.dot(x, w1g_ref[0], preferred_element_type=jnp.float32)
@@ -59,8 +72,8 @@ def _kernel(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref,
 def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                    w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
                    block_tokens: int = 256, block_hidden: int = 1024,
-                   interpret: bool = False,
-                   residual: bool = False) -> jax.Array:
+                   interpret: bool = False, residual: bool = False,
+                   ln_g: jax.Array = None) -> jax.Array:
     """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
     b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype.
     ``residual=True`` fuses the transformer block's ``x + moe(x)`` into the
@@ -86,6 +99,7 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
         grid=(n_tok, 2, n_h),
         in_specs=[
             pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
             # value / gate halves of the SwishGLU projection; expert row
             # selected via the prefetched indices
             pl.BlockSpec((1, D, TH),
@@ -104,8 +118,9 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
-    out = pl.pallas_call(
-        functools.partial(_kernel, residual=residual, n_h=n_h),
+    out_call = pl.pallas_call(
+        functools.partial(_kernel, residual=residual, n_h=n_h,
+                          ln_input=ln_g is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
@@ -115,8 +130,11 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
             + Np * D * (x.dtype.itemsize + 4),
             transcendentals=Np * H * 2,
         ),
-    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
-      xf, w1, w1, b1[:, None, :], b1[:, None, :], w2)
+    )
+    lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
+           else ln_g.astype(jnp.float32)[None, :])
+    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+                   xf, lng, w1, w1, b1[:, None, :], b1[:, None, :], w2)
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)
 
@@ -127,20 +145,20 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
 # kernel multiplies by a scale row AFTER each MXU dot (see ops/quant.py).
 # ---------------------------------------------------------------------------
 
-def _kernel_q8(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
-               b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref, acc_ref, *,
-               residual, n_h):
+def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
+               s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
+               acc_ref, *, residual, n_h, ln_input):
     e = pl.program_id(1)
     k = pl.program_id(2)
+    x = _prenorm(x_ref, lng_ref, ln_input)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
         if residual:
-            acc_ref[:] = x_ref[:].astype(jnp.float32)
+            acc_ref[:] = x.astype(jnp.float32)
         else:
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]
     dt = x.dtype
     value = jnp.dot(x, w1v_ref[0].astype(dt),
                     preferred_element_type=jnp.float32)
@@ -165,8 +183,8 @@ def _kernel_q8(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
 def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
                       top2_probs: jax.Array, q, *,
                       block_tokens: int = 256, block_hidden: int = 1024,
-                      interpret: bool = False,
-                      residual: bool = False) -> jax.Array:
+                      interpret: bool = False, residual: bool = False,
+                      ln_g: jax.Array = None) -> jax.Array:
     """int8-weight variant of fused_top2_mlp; ``q`` is ops.quant.
     QuantizedExperts. Activations stay in x.dtype."""
     B, T, D = x.shape
@@ -189,6 +207,7 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
         grid=(n_tok, 2, n_h),
         in_specs=[
             pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
             pl.BlockSpec((1, D, TH),
                          lambda i, e, k, idx, probs: (idx[e], 0, k)),
             pl.BlockSpec((1, D, TH),
@@ -208,8 +227,9 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
-    out = pl.pallas_call(
-        functools.partial(_kernel_q8, residual=residual, n_h=n_h),
+    out_call = pl.pallas_call(
+        functools.partial(_kernel_q8, residual=residual, n_h=n_h,
+                          ln_input=ln_g is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
@@ -219,9 +239,13 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
             + Np * D * (x.dtype.itemsize + 4),
             transcendentals=Np * H * 2,
         ),
-    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
-      xf, q.w1_q, q.w1_q, q.w1_s[:, None, :], q.w1_s[:, None, :],
-      q.b1[:, None, :], q.b1[:, None, :], q.w2_q, q.w2_s[:, None, :])
+    )
+    lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
+           else ln_g.astype(jnp.float32)[None, :])
+    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+                   xf, lng, q.w1_q, q.w1_q, q.w1_s[:, None, :],
+                   q.w1_s[:, None, :], q.b1[:, None, :], q.b1[:, None, :],
+                   q.w2_q, q.w2_s[:, None, :])
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)
 
@@ -249,20 +273,21 @@ def _dot_i8(a, b):
                                preferred_element_type=jnp.int32)
 
 
-def _kernel_q8c(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref,
-                s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref, acc_ref,
-                *, residual, n_h):
+def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
+                s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
+                acc_ref, *, residual, n_h, ln_input):
     e = pl.program_id(1)
     k = pl.program_id(2)
+    x = _prenorm(x_ref, lng_ref, ln_input)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
         if residual:
-            acc_ref[:] = x_ref[:].astype(jnp.float32)
+            acc_ref[:] = x.astype(jnp.float32)
         else:
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xq, sx = _quant_rows(x_ref[:].astype(jnp.float32))
+    xq, sx = _quant_rows(x.astype(jnp.float32))
     value = _dot_i8(xq, w1v_ref[0]).astype(jnp.float32)
     value = value * (sx * s1v_ref[0, 0][None, :]) \
         + b1v_ref[0, 0].astype(jnp.float32)
@@ -285,8 +310,8 @@ def _kernel_q8c(idx_ref, probs_ref, x_ref, w1v_ref, w1g_ref, s1v_ref,
 def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
                        top2_probs: jax.Array, q, *,
                        block_tokens: int = 256, block_hidden: int = 1024,
-                       interpret: bool = False,
-                       residual: bool = False) -> jax.Array:
+                       interpret: bool = False, residual: bool = False,
+                       ln_g: jax.Array = None) -> jax.Array:
     """int8-compute variant of fused_top2_mlp_q8: activations quantized
     per token in-kernel, both dots run int8 x int8 -> int32 on the MXU."""
     B, T, D = x.shape
@@ -309,6 +334,7 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
         grid=(n_tok, 2, n_h),
         in_specs=[
             pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
             pl.BlockSpec((1, D, TH),
                          lambda i, e, k, idx, probs: (idx[e], 0, k)),
             pl.BlockSpec((1, D, TH),
@@ -329,8 +355,9 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
         out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
-    out = pl.pallas_call(
-        functools.partial(_kernel_q8c, residual=residual, n_h=n_h),
+    out_call = pl.pallas_call(
+        functools.partial(_kernel_q8c, residual=residual, n_h=n_h,
+                          ln_input=ln_g is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
@@ -340,8 +367,12 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
             + Np * D * (x.dtype.itemsize + 4),
             transcendentals=Np * H * 2,
         ),
-    )(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
-      xf, q.w1_q, q.w1_q, q.w1_s[:, None, :], q.w1_s[:, None, :],
-      q.b1[:, None, :], q.b1[:, None, :], q.w2_q, q.w2_s[:, None, :])
+    )
+    lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
+           else ln_g.astype(jnp.float32)[None, :])
+    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+                   xf, lng, q.w1_q, q.w1_q, q.w1_s[:, None, :],
+                   q.w1_s[:, None, :], q.b1[:, None, :], q.b1[:, None, :],
+                   q.w2_q, q.w2_s[:, None, :])
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)

@@ -53,3 +53,27 @@ def dequantize_experts(q: QuantizedExperts):
     w1 = q.w1_q.astype(jnp.float32) * q.w1_s[:, None, :]
     w2 = q.w2_q.astype(jnp.float32) * q.w2_s[:, None, :]
     return w1, q.b1, w2
+
+
+class QuantizedAttn(NamedTuple):
+    """int8 attention projection weights (per-output-channel symmetric)."""
+
+    wqkv_q: jax.Array   # int8 [D, 3D]
+    wqkv_s: jax.Array   # f32  [3D]
+    bqkv: jax.Array     # f32  [3D]
+    wout_q: jax.Array   # int8 [D, D]
+    wout_s: jax.Array   # f32  [D]
+
+
+def quantize_attn(wqkv: jax.Array, bqkv: jax.Array, wout: jax.Array
+                  ) -> QuantizedAttn:
+    def q(w):
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        return (jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127
+                         ).astype(jnp.int8), s)
+
+    wqkv_q, wqkv_s = q(wqkv)
+    wout_q, wout_s = q(wout)
+    return QuantizedAttn(wqkv_q, wqkv_s, bqkv.astype(jnp.float32),
+                         wout_q, wout_s)

@@ -130,3 +130,75 @@ def test_fused_attn_train_and_small_head_fall_back():
         assert not called
     finally:
         attn_kernel.fused_attn_block = orig
+
+
+def test_fused_attn_q8_close():
+    """int8-projection kernel: close to the f32 path (QK-norm absorbs q/k
+    scale error; weights per-output-channel, activations per-row)."""
+    from mode_diffusion_policy_tpu.ops.pallas.attn_kernel import (
+        fused_attn_block_q8)
+    from mode_diffusion_policy_tpu.ops.quant import quantize_attn
+    B, T, H, hd = 5, 14, 2, 128
+    D = H * hd
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((D,)) * 0.1 + 1, jnp.float32)
+    qg = jnp.asarray(rng.standard_normal((hd,)) * 0.1 + 1, jnp.float32)
+    kg = jnp.asarray(rng.standard_normal((hd,)) * 0.1 + 1, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.02, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal((3 * D,)) * 0.01, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((D, D)) * 0.02, jnp.float32)
+    want = ref_block(x, c, g, wqkv, bqkv, qg, kg, wout, T, H, hd)
+    qa = quantize_attn(wqkv, bqkv, wout)
+    got = fused_attn_block_q8(x, c, g, qa, qg, kg, interpret=True)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+
+
+def test_agent_int8_attn_denoise():
+    """use_int8_attn through the agent fast path (interpret mode): the quant
+    collection carries attn_q and the denoise chunk stays close to the
+    unquantized fused path."""
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.ops.pallas import attn_kernel
+
+    kw = dict(latent_dim=256, n_layers=2, n_heads=2, cond_dim=32,
+              resnet_type="18", num_experts=4, top_k=2)
+    a_ref = MoDEAgent(MoDEAgentConfig(**kw))
+    a_q8 = MoDEAgent(MoDEAgentConfig(**kw, use_pallas_attn=True,
+                                     use_int8_attn=True))
+    v = a_ref.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    v8 = a_q8.quantize_for_inference(v)
+    assert "quant" in v8
+    layer0 = next(iter(v8["quant"]["inner_model"].values()))
+    assert "attn" in layer0 and "attn_q" in layer0["attn"]
+
+    rng = np.random.default_rng(4)
+    emb = {"state_images": jnp.asarray(
+        rng.standard_normal((4, 2, a_ref.cfg.obs_dim)), jnp.float32)}
+    lang = jnp.asarray(rng.standard_normal((4, 1, 32)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = a_ref.denoise_actions(v, emb, lang, key, inference=True,
+                                use_routing_precompute=True)
+
+    origs = (attn_kernel.fused_attn_block, attn_kernel.fused_attn_block_q8)
+
+    def interp(orig):
+        def f(*a, **kwargs):
+            kwargs["interpret"] = True
+            return orig.__wrapped__(*a, **kwargs)
+        return f
+
+    attn_kernel.fused_attn_block = interp(origs[0])
+    attn_kernel.fused_attn_block_q8 = interp(origs[1])
+    try:
+        got = a_q8.denoise_actions(v8, emb, lang, key, inference=True,
+                                   use_routing_precompute=True)
+    finally:
+        (attn_kernel.fused_attn_block,
+         attn_kernel.fused_attn_block_q8) = origs
+    mae = float(np.abs(np.asarray(got) - np.asarray(ref)).mean())
+    assert np.isfinite(np.asarray(got)).all()
+    assert mae < 2e-3, mae

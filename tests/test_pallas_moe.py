@@ -192,3 +192,23 @@ def test_fused_top2_residual_epilogue():
                               block_hidden=256, interpret=True, residual=True)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_fused_top2_ln_fusion():
+    """ln_g fuses the pre-MoE RMSNorm: kernel(x_raw, ln_g) ==
+    x_normed + moe(x_normed)."""
+    from mode_diffusion_policy_tpu.ops.primitives import RMSNorm
+    D, H = 128, 512
+    w1, b1, w2 = make_weights(D=D, H=H)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 14, D)) * 3.0
+    g = jax.random.normal(jax.random.PRNGKey(5), (D,)) * 0.1 + 1.0
+    idx = jnp.asarray([0, 3], jnp.int32)
+    probs = jnp.asarray([0.7, 0.3], jnp.float32)
+    norm = RMSNorm(D, eps=1e-6)
+    xn = norm.apply({"params": {"g": g}}, x)
+    want = xn + moe_ffn_top2_gather(xn, idx, probs, w1, b1, w2)
+    got = fused_top2_mlp(x, idx, probs, w1, b1, w2, block_tokens=16,
+                         block_hidden=256, interpret=True, residual=True,
+                         ln_g=g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
