@@ -120,15 +120,6 @@ def main():
         variables = agent.quantize_encoders_for_inference(
             variables, calib_batch=calib)
 
-    def chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
-        rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
-        rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
-        emb, _ = agent.embed_visual_obs(variables, rs, rg, lang_emb,
-                                        train=False)
-        return agent.denoise_actions(variables, emb, lang_emb, key,
-                                     inference=True,
-                                     use_routing_precompute=True)
-
     # Per-call host timing through the remote-execution tunnel both adds a
     # large fixed RPC overhead and can elide repeated identical executions,
     # so the honest device throughput is measured by scanning the pipeline n
@@ -136,20 +127,35 @@ def main():
     # differencing n=1 vs n=ITERS wall times, each ending in a host fetch.
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def repeat_n(variables, rgb_static, rgb_gripper, lang_emb, key, n):
-        def body(carry, i):
-            k = jax.random.fold_in(carry, i)
-            # key-dependent pixel jitter: without it XLA hoists the
-            # loop-invariant preprocess+encoder stages out of the scan and
-            # the measurement silently drops ~17 ms/batch of real work
-            # (serving sees new frames every call, so they must be timed)
-            jit8 = jax.random.randint(k, (), 0, 2, dtype=jnp.uint8)
-            out = chunk_fn(variables, rgb_static + jit8, rgb_gripper + jit8,
-                           lang_emb, k)
-            return k, jnp.mean(out)
-        _, means = jax.lax.scan(body, key, jnp.arange(n))
-        return means
+    def make_repeat_n(ag):
+        def chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
+            rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
+            rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
+            emb, _ = ag.embed_visual_obs(variables, rs, rg, lang_emb,
+                                         train=False)
+            return ag.denoise_actions(variables, emb, lang_emb, key,
+                                      inference=True,
+                                      use_routing_precompute=True)
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def repeat_n(variables, rgb_static, rgb_gripper, lang_emb, key, n):
+            def body(carry, i):
+                k = jax.random.fold_in(carry, i)
+                # key-dependent pixel jitter: without it XLA hoists the
+                # loop-invariant preprocess+encoder stages out of the scan
+                # and the measurement silently drops ~17 ms/batch of real
+                # work (serving sees new frames every call, so they must be
+                # timed)
+                jit8 = jax.random.randint(k, (), 0, 2, dtype=jnp.uint8)
+                out = chunk_fn(variables, rgb_static + jit8,
+                               rgb_gripper + jit8, lang_emb, k)
+                return k, jnp.mean(out)
+            _, means = jax.lax.scan(body, key, jnp.arange(n))
+            return means
+
+        return repeat_n
+
+    repeat_n = make_repeat_n(agent)
 
     rng = np.random.default_rng(0)
     rgb_static = jnp.asarray(
@@ -190,28 +196,9 @@ def main():
     if os.environ.get("BENCH_LATENCY", "1") == "1":
         import dataclasses
 
-        lat_agent = MoDEAgent(dataclasses.replace(cfg, use_pallas_attn=False))
-
-        def lat_chunk_fn(variables, rgb_static, rgb_gripper, lang_emb, key):
-            rs = preprocess_camera(None, rgb_static, size=IMG, train=False)
-            rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
-            emb, _ = lat_agent.embed_visual_obs(variables, rs, rg, lang_emb,
-                                                train=False)
-            return lat_agent.denoise_actions(variables, emb, lang_emb, key,
-                                             inference=True,
-                                             use_routing_precompute=True)
-
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def repeat_n_lat(variables, rgb_static, rgb_gripper, lang_emb, key, n):
-            def body(carry, i):
-                k = jax.random.fold_in(carry, i)
-                jit8 = jax.random.randint(k, (), 0, 2, dtype=jnp.uint8)
-                out = lat_chunk_fn(variables, rgb_static + jit8,
-                                   rgb_gripper + jit8, lang_emb, k)
-                return k, jnp.mean(out)
-            _, means = jax.lax.scan(body, key, jnp.arange(n))
-            return means
-
+        lat_agent = MoDEAgent(dataclasses.replace(
+            cfg, use_pallas_attn=False, use_int8_attn=False))
+        repeat_n_lat = make_repeat_n(lat_agent)
         rs1, rg1, le1 = rgb_static[:1], rgb_gripper[:1], lang_emb[:1]
         np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, 1))
         np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, ITERS))

@@ -98,6 +98,17 @@ class MoDeDiTConfig:
                                    # fused attention kernel (per-row act
                                    # quant in VMEM; requires use_pallas_attn)
 
+    def __post_init__(self):
+        if self.use_int8_attn:
+            if not self.use_pallas_attn:
+                raise ValueError(
+                    "use_int8_attn requires use_pallas_attn — the int8 "
+                    "projections run inside the fused attention kernel")
+            if (self.embed_dim // self.n_heads) % 128 != 0:
+                raise ValueError(
+                    "use_int8_attn requires head_dim % 128 == 0 (the fused "
+                    f"kernel's lane tiling); got {self.embed_dim // self.n_heads}")
+
     @property
     def seq_size(self) -> int:
         # learned positional-embedding table length (modedit.py:682)
@@ -179,10 +190,14 @@ class Attention(nn.Module):
             wqkv = DenseP(D, 3 * D, use_bias=True, name="wqkv",
                           kernel_init=init, dtype=cfg.dtype)
             qa = None
-            if cfg.use_int8_attn and self.qk_norm:
+            if cfg.use_int8_attn and self.qk_norm and (
+                    self.is_initializing()
+                    or self.has_variable("quant", "attn_q")):
                 # int8 projection weights, quantized ONCE into the "quant"
                 # collection (rebuild post-checkpoint-load via
-                # MoDEAgent.quantize_for_inference)
+                # MoDEAgent.quantize_for_inference). Applies WITHOUT a quant
+                # collection (training, pre-quantize eval) fall back to the
+                # bf16 paths instead of failing the variable lookup.
                 from ..ops.quant import QuantizedAttn, quantize_attn
                 kqkv, bqkv = wqkv.weights()
                 kout, _ = cproj.weights()
@@ -192,16 +207,20 @@ class Attention(nn.Module):
                 qa = QuantizedAttn(*qa_var.value)
             if fused is not None:
                 assert self.causal and self.qk_norm and not train
-                ln_g, c = fused
-                qg = RMSNorm(hd, eps=1e-6, name="q_norm").scale()
-                kg = RMSNorm(hd, eps=1e-6, name="k_norm").scale()
+                ln_g, ln_eps, c = fused
+                q_norm = RMSNorm(hd, eps=1e-6, name="q_norm")
+                k_norm = RMSNorm(hd, eps=1e-6, name="k_norm")
+                qg, kg = q_norm.scale(), k_norm.scale()
                 if qa is not None:
                     from ..ops.pallas.attn_kernel import fused_attn_block_q8
-                    return fused_attn_block_q8(x, c, ln_g, qa, qg, kg)
+                    return fused_attn_block_q8(x, c, ln_g, qa, qg, kg,
+                                               ln_eps=ln_eps,
+                                               qk_eps=q_norm.eps)
                 from ..ops.pallas.attn_kernel import fused_attn_block
                 kqkv, bqkv = wqkv.weights()
                 kout, _ = cproj.weights()
-                return fused_attn_block(x, c, ln_g, kqkv, bqkv, qg, kg, kout)
+                return fused_attn_block(x, c, ln_g, kqkv, bqkv, qg, kg, kout,
+                                        ln_eps=ln_eps, qk_eps=q_norm.eps)
             qkv = wqkv(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             S = T
@@ -368,11 +387,16 @@ class NoiseBlockMoE(nn.Module):
         dt = cfg.dtype
         use_fused_attn = (cfg.use_pallas_attn and not train
                           and self.attn.causal and self.attn.qk_norm
-                          and (cfg.embed_dim // cfg.n_heads) % 128 == 0)
+                          and (cfg.embed_dim // cfg.n_heads) % 128 == 0
+                          # init builds params through the XLA path (same
+                          # module tree) — the kernel may not even be
+                          # compilable on the init host (CPU)
+                          and not self.is_initializing())
         if use_fused_attn:
             # whole attention sub-block (incl. ln_1 and the residual) in one
             # Pallas kernel; ~1.6x the XLA lowering at the flagship shape
-            x = self.attn(x, train=False, fused=(self.ln_1.scale(), c))
+            x = self.attn(x, train=False,
+                          fused=(self.ln_1.scale(), self.ln_1.eps, c))
         else:
             x = x + self.attn(self.ln_1(x) + c, train=train)
         if cfg.use_cross_attention and context is not None:
@@ -390,8 +414,9 @@ class NoiseBlockMoE(nn.Module):
             if fuse_ln:
                 # ln_2 fused into the MoE kernel: x goes in RAW, the kernel
                 # normalizes in VMEM (x never re-materializes normed)
-                return self._override_out(x, idx, p, w1, b1, w2,
-                                          ln_g=self.ln_2.scale()), None
+                return self._override_out(
+                    x, idx, p, w1, b1, w2, ln_g=self.ln_2.scale(),
+                    ln_eps=self.ln_2.eps), None
             x = self.ln_2(x)
             res = self._override_out(x, idx, p, w1, b1, w2)
             if cfg.use_shared_expert:
@@ -423,7 +448,8 @@ class NoiseBlockMoE(nn.Module):
         }
         return x + out, aux
 
-    def _override_out(self, x, idx, p, w1, b1, w2, ln_g=None):
+    def _override_out(self, x, idx, p, w1, b1, w2, ln_g=None,
+                      ln_eps=1e-6):
         """Per-sigma precomputed-routing MoE block output ``x + moe(x)``.
         On the Pallas paths the residual add is fused into the kernel
         epilogue (fp32 accumulator seeded with x — one x.dtype output
@@ -446,11 +472,11 @@ class NoiseBlockMoE(nn.Module):
             from ..ops.quant import QuantizedExperts
             return fused_top2_mlp_q8c(
                 x, idx, p, QuantizedExperts(*self.experts_q.value),
-                residual=True, ln_g=ln_g)
+                residual=True, ln_g=ln_g, ln_eps=ln_eps)
         if cfg.use_pallas_moe and cfg.router_top_k == 2:
             from ..ops.pallas.moe_kernel import fused_top2_mlp
             return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True,
-                                  ln_g=ln_g)
+                                  ln_g=ln_g, ln_eps=ln_eps)
         return x + moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
     def _experts_out(self, x, router_probs, idx, w1, b1, w2, train):

@@ -90,6 +90,33 @@ def _kernel(x_ref, c_ref, lng_ref, wqkv_ref, bqkv_ref, qgt_ref, kgt_ref,
     out_ref[:] = (x32 + y).astype(out_ref.dtype)
 
 
+def _block_layout(x, c, block_samples):
+    """Shared tiling/pad logic: pick S whole samples per grid step (rows per
+    block must tile the TPU sublane granule; small batches use the smallest
+    valid S >= B so padded compute stays proportional), pad batch to a
+    multiple of S, and flatten to rows."""
+    B, T, D = x.shape
+    S = block_samples
+    while (S * T) % 8 != 0 and S > 1:
+        S -= 1
+    if B < S:
+        S_small = 1
+        while (S_small * T) % 8 != 0 or S_small < B:
+            S_small += 1
+        S = S_small
+    Bp = -(-B // S) * S
+    if Bp != B:
+        x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        c_in = jnp.pad(jnp.broadcast_to(c, (B, T, D)),
+                       ((0, Bp - B), (0, 0), (0, 0)))
+    else:
+        x_in = x
+        c_in = jnp.broadcast_to(c, (B, T, D))
+    N = Bp * T
+    return (x_in.reshape(N, D), c_in.reshape(N, D).astype(x.dtype),
+            Bp, N, S * T)
+
+
 @functools.partial(jax.jit, static_argnames=("block_samples", "interpret",
                                              "ln_eps", "qk_eps"))
 def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
@@ -110,29 +137,7 @@ def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
     hd = q_g.shape[-1]
     H = D // hd
 
-    # S whole samples per grid step; rows per block must tile the TPU
-    # sublane granule. Small batches use the smallest valid S >= B so
-    # padded compute stays proportional (B=1 pads to 4 samples, not 16).
-    S = block_samples
-    while (S * T) % 8 != 0 and S > 1:
-        S -= 1
-    if B < S:
-        S_small = 1
-        while (S_small * T) % 8 != 0 or S_small < B:
-            S_small += 1
-        S = S_small
-    Bp = -(-B // S) * S
-    if Bp != B:
-        x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        c_in = jnp.pad(jnp.broadcast_to(c, (B, T, D)),
-                       ((0, Bp - B), (0, 0), (0, 0)))
-    else:
-        x_in = x
-        c_in = jnp.broadcast_to(c, (B, T, D))
-    N = Bp * T
-    TM = S * T
-    xf = x_in.reshape(N, D)
-    cf = c_in.reshape(N, D).astype(x.dtype)
+    xf, cf, Bp, N, TM = _block_layout(x, c, block_samples)
     qgt = jnp.tile(q_g.astype(jnp.float32), H)[None, :]   # [1, D]
     kgt = jnp.tile(k_g.astype(jnp.float32), H)[None, :]
 
@@ -251,26 +256,7 @@ def fused_attn_block_q8(x: jax.Array, c: jax.Array, ln_g: jax.Array,
     hd = q_g.shape[-1]
     H = D // hd
 
-    S = block_samples
-    while (S * T) % 8 != 0 and S > 1:
-        S -= 1
-    if B < S:
-        S_small = 1
-        while (S_small * T) % 8 != 0 or S_small < B:
-            S_small += 1
-        S = S_small
-    Bp = -(-B // S) * S
-    if Bp != B:
-        x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        c_in = jnp.pad(jnp.broadcast_to(c, (B, T, D)),
-                       ((0, Bp - B), (0, 0), (0, 0)))
-    else:
-        x_in = x
-        c_in = jnp.broadcast_to(c, (B, T, D))
-    N = Bp * T
-    TM = S * T
-    xf = x_in.reshape(N, D)
-    cf = c_in.reshape(N, D).astype(x.dtype)
+    xf, cf, Bp, N, TM = _block_layout(x, c, block_samples)
     qgt = jnp.tile(q_g.astype(jnp.float32), H)[None, :]
     kgt = jnp.tile(k_g.astype(jnp.float32), H)[None, :]
 

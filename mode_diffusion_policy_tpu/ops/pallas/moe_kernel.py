@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _prenorm(x_ref, lng_ref, ln_input, eps=1e-6):
+def _prenorm(x_ref, lng_ref, ln_input, eps):
     """Optional fused pre-RMSNorm (the block's ln_2): x is loaded raw and
     normalized in VMEM, recomputed per revisit (VPU-trivial) so the norm
     never makes an HBM round trip."""
@@ -38,10 +38,11 @@ def _prenorm(x_ref, lng_ref, ln_input, eps=1e-6):
 
 
 def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
-            b1g_ref, w2_ref, out_ref, acc_ref, *, residual, n_h, ln_input):
+            b1g_ref, w2_ref, out_ref, acc_ref, *, residual, n_h, ln_input,
+            ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
-    x = _prenorm(x_ref, lng_ref, ln_input)
+    x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
@@ -68,12 +69,14 @@ def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret", "residual"))
+                                             "interpret", "residual",
+                                             "ln_eps"))
 def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                    w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
                    block_tokens: int = 256, block_hidden: int = 1024,
                    interpret: bool = False, residual: bool = False,
-                   ln_g: jax.Array = None) -> jax.Array:
+                   ln_g: jax.Array = None,
+                   ln_eps: float = 1e-6) -> jax.Array:
     """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
     b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype.
     ``residual=True`` fuses the transformer block's ``x + moe(x)`` into the
@@ -120,7 +123,7 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
     )
     out_call = pl.pallas_call(
         functools.partial(_kernel, residual=residual, n_h=n_h,
-                          ln_input=ln_g is not None),
+                          ln_input=ln_g is not None, ln_eps=ln_eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
@@ -147,10 +150,10 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
 
 def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
                s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
-               acc_ref, *, residual, n_h, ln_input):
+               acc_ref, *, residual, n_h, ln_input, ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
-    x = _prenorm(x_ref, lng_ref, ln_input)
+    x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
@@ -179,12 +182,14 @@ def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret", "residual"))
+                                             "interpret", "residual",
+                                             "ln_eps"))
 def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
                       top2_probs: jax.Array, q, *,
                       block_tokens: int = 256, block_hidden: int = 1024,
                       interpret: bool = False, residual: bool = False,
-                      ln_g: jax.Array = None) -> jax.Array:
+                      ln_g: jax.Array = None,
+                      ln_eps: float = 1e-6) -> jax.Array:
     """int8-weight variant of fused_top2_mlp; ``q`` is ops.quant.
     QuantizedExperts. Activations stay in x.dtype."""
     B, T, D = x.shape
@@ -229,7 +234,7 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
     )
     out_call = pl.pallas_call(
         functools.partial(_kernel_q8, residual=residual, n_h=n_h,
-                          ln_input=ln_g is not None),
+                          ln_input=ln_g is not None, ln_eps=ln_eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,
@@ -275,10 +280,10 @@ def _dot_i8(a, b):
 
 def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
                 s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
-                acc_ref, *, residual, n_h, ln_input):
+                acc_ref, *, residual, n_h, ln_input, ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
-    x = _prenorm(x_ref, lng_ref, ln_input)
+    x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
 
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
@@ -306,12 +311,14 @@ def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_tokens", "block_hidden",
-                                             "interpret", "residual"))
+                                             "interpret", "residual",
+                                             "ln_eps"))
 def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
                        top2_probs: jax.Array, q, *,
                        block_tokens: int = 256, block_hidden: int = 1024,
                        interpret: bool = False, residual: bool = False,
-                       ln_g: jax.Array = None) -> jax.Array:
+                       ln_g: jax.Array = None,
+                       ln_eps: float = 1e-6) -> jax.Array:
     """int8-compute variant of fused_top2_mlp_q8: activations quantized
     per token in-kernel, both dots run int8 x int8 -> int32 on the MXU."""
     B, T, D = x.shape
@@ -357,7 +364,7 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
     )
     out_call = pl.pallas_call(
         functools.partial(_kernel_q8c, residual=residual, n_h=n_h,
-                          ln_input=ln_g is not None),
+                          ln_input=ln_g is not None, ln_eps=ln_eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, D), x.dtype),
         interpret=interpret,

@@ -202,3 +202,36 @@ def test_agent_int8_attn_denoise():
     mae = float(np.abs(np.asarray(got) - np.asarray(ref)).mean())
     assert np.isfinite(np.asarray(got)).all()
     assert mae < 2e-3, mae
+
+
+def test_int8_attn_init_and_quantless_apply():
+    """Regression (code review): with use_int8_attn, (a) module init must
+    NOT run the kernel (CPU init host) and must create the quant collection,
+    (b) applies WITHOUT a quant collection (training, pre-quantize eval)
+    fall back instead of failing the variable lookup, (c) the config rejects
+    use_int8_attn without use_pallas_attn or with head_dim % 128 != 0."""
+    from mode_diffusion_policy_tpu.models.modedit import MoDeDiT, MoDeDiTConfig
+
+    cfg = MoDeDiTConfig(obs_dim=16, goal_dim=8, embed_dim=256, n_layers=1,
+                        n_heads=2, num_experts=4, top_k=2,
+                        use_pallas_attn=True, use_int8_attn=True)
+    m = MoDeDiT(cfg)
+    rng = np.random.default_rng(0)
+    states = {"state_images": jnp.asarray(
+        rng.standard_normal((2, 2, 16)), jnp.float32)}
+    actions = jnp.asarray(rng.standard_normal((2, 10, 7)), jnp.float32)
+    goals = jnp.asarray(rng.standard_normal((2, 1, 8)), jnp.float32)
+    sigma = jnp.ones((2,))
+    v = m.init({"params": jax.random.PRNGKey(0)}, states, actions, goals,
+               sigma)
+    assert "quant" in v
+    out = m.apply({"params": v["params"]}, states, actions, goals, sigma,
+                  train=True, rngs={"router": jax.random.PRNGKey(1),
+                                    "dropout": jax.random.PRNGKey(2),
+                                    "goal_mask": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="use_pallas_attn"):
+        MoDeDiTConfig(use_int8_attn=True)
+    with pytest.raises(ValueError, match="head_dim"):
+        MoDeDiTConfig(embed_dim=256, n_heads=4, use_pallas_attn=True,
+                      use_int8_attn=True)
