@@ -252,3 +252,35 @@ def test_jitted_val_step_matches_eager(tiny_setup, tmp_path):
     np.testing.assert_allclose(
         float(m_jit["val_act/lang_act_loss_pp"]),
         float(m_eager["val_act/lang_act_loss_pp"]), rtol=1e-5)
+
+
+def test_mesh_batched_inference_sharded(tiny_setup):
+    """DP-sharded batched serving: the full denoise chunk (embed + 10-step
+    sampler with routing precompute) jitted over the 8-device mesh with the
+    batch sharded on dp must equal the single-device result — the
+    correctness basis for the v5e-8 throughput extrapolation in README."""
+    cfg, agent, variables = tiny_setup
+    mesh = make_mesh()
+    batch = make_batch(cfg, B=8, seed=3)
+    rs = jnp.asarray(batch["rgb_static"])
+    rg = jnp.asarray(batch["rgb_gripper"])
+    lang = jnp.asarray(batch["lang_emb"])
+    key = jax.random.PRNGKey(9)
+
+    def chunk(variables, rs, rg, lang):
+        emb, _ = agent.embed_visual_obs(variables, rs, rg, lang, train=False)
+        return agent.denoise_actions(variables, emb, lang, key,
+                                     inference=True,
+                                     use_routing_precompute=True)
+
+    ref = np.asarray(jax.jit(chunk)(variables, rs, rg, lang))
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    sharded = jax.jit(chunk, in_shardings=(rep, bsh, bsh, bsh),
+                      out_shardings=bsh)
+    v_rep = jax.device_put(variables, rep)
+    got = sharded(v_rep, jax.device_put(rs, bsh), jax.device_put(rg, bsh),
+                  jax.device_put(lang, bsh))
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
