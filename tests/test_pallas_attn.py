@@ -235,3 +235,51 @@ def test_int8_attn_init_and_quantless_apply():
     with pytest.raises(ValueError, match="head_dim"):
         MoDeDiTConfig(embed_dim=256, n_heads=4, use_pallas_attn=True,
                       use_int8_attn=True)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "heun", "dpm",
+                                     "euler_ancestral", "dpmpp_2m"])
+def test_samplers_with_fused_kernels(sampler):
+    """Fused attention + Pallas MoE (interpret) under representative sampler
+    structures — scheduled gathers, off-schedule midpoint evals (inline
+    routing), ancestral noise, multistep memory — must match the unfused
+    agent path."""
+    import dataclasses
+
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.ops.pallas import attn_kernel
+    from mode_diffusion_policy_tpu.ops.pallas import moe_kernel as mk
+
+    base = MoDEAgentConfig(latent_dim=256, n_layers=2, n_heads=2, cond_dim=32,
+                           resnet_type="18", num_experts=4, top_k=2,
+                           sampler_type=sampler)
+    a0 = MoDEAgent(base)
+    a1 = MoDEAgent(dataclasses.replace(base, use_pallas_attn=True,
+                                       use_pallas_moe=True))
+    v = a0.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    rng = np.random.default_rng(6)
+    emb = {"state_images": jnp.asarray(
+        rng.standard_normal((2, 2, 512)), jnp.float32)}
+    lang = jnp.asarray(rng.standard_normal((2, 1, 32)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    ref = a0.denoise_actions(v, emb, lang, key, inference=True,
+                             use_routing_precompute=True)
+
+    origs = (attn_kernel.fused_attn_block, mk.fused_top2_mlp)
+
+    def interp(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            return orig.__wrapped__(*a, **kw)
+        return f
+
+    attn_kernel.fused_attn_block = interp(origs[0])
+    mk.fused_top2_mlp = interp(origs[1])
+    try:
+        got = a1.denoise_actions(v, emb, lang, key, inference=True,
+                                 use_routing_precompute=True)
+    finally:
+        attn_kernel.fused_attn_block, mk.fused_top2_mlp = origs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4,
+                               rtol=1e-3)
