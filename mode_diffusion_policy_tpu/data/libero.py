@@ -136,15 +136,19 @@ class LiberoSequenceDataset:
         get_sequence_from_demo, robomimic_dataset.py:487-509: frame-stack
         pads repeat the first frame, sequence pads repeat the last)."""
         L = arr.shape[0]
-        begin = max(0, t)
-        end = min(t + length, L)
+        begin = max(0, min(t, L - 1))
+        end = min(max(t + length, begin + 1), L)
         out = np.asarray(arr[begin:end])
         if begin > t:   # frame-stack padding before the demo start
             out = np.concatenate(
                 [np.repeat(out[:1], begin - t, axis=0), out], axis=0)
-        if end < t + length:
+        if out.shape[0] < length:
+            # sequence padding past the demo end repeats the last frame;
+            # clamping begin above keeps this non-empty even when the whole
+            # window starts at/after L (next_obs of the final frame)
             out = np.concatenate(
-                [out, np.repeat(out[-1:], t + length - end, axis=0)], axis=0)
+                [out, np.repeat(out[-1:], length - out.shape[0], axis=0)],
+                axis=0)
         return out
 
     def _obs_window(self, arrs, t: int, length: int, shift: int = 0):

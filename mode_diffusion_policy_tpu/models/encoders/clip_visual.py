@@ -93,7 +93,7 @@ class ModifiedResNetConfig:
     dtype: Any = jnp.float32
 
 
-def _cbn(x, features, kernel, stride, pad, name, dtype, axis=None):
+def _cbn(x, features, kernel, stride, pad, name, dtype):
     x = nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                 padding=[(pad, pad), (pad, pad)], use_bias=False,
                 name=f"{name}_conv", dtype=dtype)(x)

@@ -2141,6 +2141,11 @@ static PyObject *hasher_call(HasherObject *self, PyObject *args, PyObject *kwarg
     if (self->seed_bits == 0) {
         /* Fingerprinter semantics (Hash.h:177-217): no seed, one result per
          * arg; a single arg returns the value, several return a list. */
+        if (nargs == 0) {
+            PyErr_SetString(PyExc_TypeError,
+                            "fingerprinter requires at least one argument");
+            return NULL;
+        }
         PyObject *results = nargs > 1 ? PyList_New(0) : NULL;
         PyObject *single = NULL;
         for (Py_ssize_t i = 0; i < nargs; i++) {

@@ -95,16 +95,19 @@ def preprocess_camera(key: Optional[jax.Array], x: jax.Array, *,
     B, T = x.shape[:2]
     flat = x.reshape((B * T,) + x.shape[2:])
     flat = resize_images(flat, size)
-    if train and shift_pad > 0:
+    if train:
+        # derive independent streams up front — random_shift_aug consumes
+        # its key, so reusing it for the jitter/erasing splits would violate
+        # the no-key-reuse contract
         assert key is not None
-        flat = random_shift_aug(key, flat, shift_pad)
+        k_shift, k_jit, k_erase = jax.random.split(key, 3)
+    if train and shift_pad > 0:
+        flat = random_shift_aug(k_shift, flat, shift_pad)
     flat = flat.astype(jnp.float32) / 255.0
     if train and jitter is not None:
-        key, sub = jax.random.split(key)
-        flat = color_jitter(sub, flat, **jitter)
+        flat = color_jitter(k_jit, flat, **jitter)
     if train and erasing is not None:
-        key, sub = jax.random.split(key)
-        flat = random_erasing(sub, flat, **erasing)
+        flat = random_erasing(k_erase, flat, **erasing)
     flat = (flat - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
     return flat.reshape((B, T, size, size, 3))
 

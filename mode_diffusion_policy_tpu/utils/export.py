@@ -125,9 +125,10 @@ def main(argv=None):
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--repo-id", default=None,
                     help="optional HF hub repo to upload to (needs network)")
-    ap.add_argument("--use-ema", action="store_true", default=True,
-                    help="export the EMA weights (reference behavior)")
-    ap.add_argument("--no-ema", dest="use_ema", action="store_false")
+    ap.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="export the EMA weights (reference behavior); "
+                         "--no-use-ema exports the raw params")
     args = ap.parse_args(argv)
 
     params = load_run_params(args.run_dir, use_ema=args.use_ema)

@@ -148,6 +148,37 @@ else:  # pragma: no cover
     fnv1_64 = _Fnv1_64
     fnv1a_64 = _Fnv1a_64
 
+    def _needs_native(name):
+        class _Missing:
+            def __init__(self, *a, **kw):
+                raise ImportError(
+                    f"hasher '{name}' requires the _pyhashx C extension — "
+                    "build it with `python setup.py build_ext --inplace` "
+                    "(only the runtime-critical fnv1 family has a "
+                    "pure-Python fallback)")
+        _Missing.__name__ = name
+        return _Missing
+
+    # the remaining pyhash surface exists at import time (so `from ...
+    # hashing import city_64` works either way) but raises a clear error on
+    # construction without the native extension
+    for _n in ("murmur2_32", "murmur2_x64_64a", "murmur3_32", "xx_32",
+               "xx_64", "super_fast_hash", "lookup3_little", "lookup3",
+               "murmur1_32", "murmur1_aligned_32", "murmur2a_32",
+               "murmur2_aligned_32", "murmur2_neutral_32", "murmur2_x86_64b",
+               "murmur3_x86_128", "murmur3_x64_128", "lookup3_big",
+               "city_32", "city_64", "city_128", "city_crc_128",
+               "city_fingerprint_256", "spooky_32", "spooky_64",
+               "spooky_128", "farm_32", "farm_64", "farm_128",
+               "farm_fingerprint_32", "farm_fingerprint_64",
+               "farm_fingerprint_128", "metro_64_1", "metro_64_2",
+               "metro_128_1", "metro_128_2", "metro_64_crc_1",
+               "metro_64_crc_2", "metro_128_crc_1", "metro_128_crc_2",
+               "mum_64", "t1ha2_atonce", "t1ha2_atonce128", "t1ha1_le",
+               "t1ha1_be", "t1ha0", "t1ha"):
+        globals()[_n] = _needs_native(_n)
+    del _n
+
 # pure-python references always available (used for cross-checking the C ext)
 py_fnv1_32 = _Fnv1_32
 py_fnv1a_32 = _Fnv1a_32

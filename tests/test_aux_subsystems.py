@@ -147,6 +147,5 @@ def test_export_cli_from_orbax_run(tmp_path):
     main(["--run-dir", str(run_dir), "--out-dir", str(out_dir)])
     from safetensors.numpy import load_file
     flat = load_file(out_dir / "model_cleaned.safetensors")
-    assert any(k.startswith("model.inner_model") or "inner_model" in k
-               or k for k in flat)
+    assert any("inner_model" in k for k in flat), sorted(flat)[:5]
     assert len(flat) > 5

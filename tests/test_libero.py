@@ -238,3 +238,21 @@ def test_sequence_dataset_padding_flags(libero_root):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         LiberoSequenceDataset(path, goal_mode="nope")
+
+
+def test_sequence_dataset_next_obs_last_frame_fs1(libero_root):
+    """Regression (code review): frame_stack=1 + load_next_obs at the LAST
+    frame of a demo — the shifted window starts at the demo end and must
+    clamp to the final frame (robomimic next_obs convention), not return a
+    zero-length array."""
+    path = next((libero_root / "libero_10").glob("*.hdf5"))
+    ds = LiberoSequenceDataset(path, seq_len=1, obs_seq_len=1,
+                               frame_stack=1, load_next_obs=True)
+    with h5py.File(path, "r") as f:
+        agent = np.asarray(f["data/demo_0/obs/agentview_rgb"])
+        L = agent.shape[0]
+    item = ds[L - 1]
+    nxt = item["next_obs"]["rgb_static"]
+    assert nxt.shape[0] == 1, nxt.shape
+    np.testing.assert_array_equal(nxt[0], agent[-1])
+    ds.close()
