@@ -104,6 +104,11 @@ def _block_layout(x, c, block_samples):
         while (S_small * T) % 8 != 0 or S_small < B:
             S_small += 1
         S = S_small
+    if (S * T) % 8 != 0:
+        raise ValueError(
+            f"no block size S in [1, {block_samples}] satisfies the sublane "
+            f"constraint (S*T) % 8 == 0 for T={T}; pick a block_samples "
+            "whose multiples of T can tile the 8-row granule")
     Bp = -(-B // S) * S
     if Bp != B:
         x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
