@@ -30,16 +30,21 @@ def main(argv=None):
     p.add_argument("--n-eval", type=int, default=20)
     p.add_argument("--max-steps", type=int, default=520)
     p.add_argument("--img-size", type=int, default=224)
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--n-layers", type=int, default=12)
-    p.add_argument("--resnet-type", default="50")
-    p.add_argument("--sampler-type", default="ddim")
-    p.add_argument("--num-sampling-steps", type=int, default=10)
-    p.add_argument("--noise-scheduler", default="exponential")
-    p.add_argument("--sigma-min", type=float, default=0.001)
-    p.add_argument("--sigma-max", type=float, default=80.0)
+    # None = use the checkpoint dir's persisted training config (or the
+    # flagship defaults) — see evaluate_calvin.MODEL_ARG_DEFAULTS
+    p.add_argument("--latent-dim", type=int, default=None)
+    p.add_argument("--n-layers", type=int, default=None)
+    p.add_argument("--resnet-type", default=None)
+    p.add_argument("--sampler-type", default=None)
+    p.add_argument("--num-sampling-steps", type=int, default=None)
+    p.add_argument("--noise-scheduler", default=None)
+    p.add_argument("--sigma-min", type=float, default=None)
+    p.add_argument("--sigma-max", type=float, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--serving-mode", default="auto",
+                   help="TPU fast-path preset: reference | parity | "
+                        "max-throughput | b1-latency | auto")
     p.add_argument("--clip-checkpoint", default=None)
     p.add_argument("--log-dir", default="eval_results_libero")
     p.add_argument("--fake-env", action="store_true")

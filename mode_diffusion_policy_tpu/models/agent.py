@@ -242,8 +242,12 @@ class MoDEAgent:
         for name, imgs in (("static_resnet", calib_batch["rgb_static"]),
                            ("gripper_resnet", calib_batch["rgb_gripper"])):
             x = imgs.reshape((-1,) + imgs.shape[2:])
-            _, calib = mod.apply({"params": q[name]}, x, cond, train=False,
-                                 mutable=["calib"])
+            # images flatten to B*T rows — the FiLM cond must follow
+            # (embed_visual_obs repeats it the same way at inference)
+            T = imgs.shape[1]
+            cond_rep = jnp.repeat(cond, T, axis=0) if T > 1 else cond
+            _, calib = mod.apply({"params": q[name]}, x, cond_rep,
+                                 train=False, mutable=["calib"])
             q[name] = quantize_resnet_params(
                 variables["folded_params"][name],
                 act_amax=calib["calib"], headroom=headroom, skip=skip)
@@ -480,6 +484,16 @@ class RolloutPolicy:
                 use_routing_precompute=use_routing_precompute)
 
         self._policy = jax.jit(_policy)
+
+    @classmethod
+    def with_serving_mode(cls, agent: MoDEAgent, variables, lang_encoder,
+                          mode: str = "auto", *, calib_batch=None, **kw):
+        """Build a policy with a serving-mode fast-path preset applied
+        (serving.apply_serving_mode; docs/PERF.md serving-mode table)."""
+        from ..serving import apply_serving_mode
+        agent, variables = apply_serving_mode(agent, variables, mode,
+                                              calib_batch=calib_batch)
+        return cls(agent, variables, lang_encoder, **kw)
 
     def reset(self):
         self._counter = 0

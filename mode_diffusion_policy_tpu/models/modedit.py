@@ -172,9 +172,9 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
                  context: Optional[jax.Array] = None,
-                 fused: Optional[Tuple[jax.Array, jax.Array]] = None
+                 fused: Optional[Tuple[jax.Array, float, jax.Array]] = None
                  ) -> jax.Array:
-        """``fused=(ln_g, c)`` runs the whole sub-block
+        """``fused=(ln_g, ln_eps, c)`` runs the whole sub-block
         ``x + c_proj(attn(qk_norm(wqkv(rmsnorm(x)*ln_g + c))))`` through the
         fused Pallas kernel (inference only; x here is the RAW block input)
         and returns the residual-included output."""
@@ -211,16 +211,19 @@ class Attention(nn.Module):
                 q_norm = RMSNorm(hd, eps=1e-6, name="q_norm")
                 k_norm = RMSNorm(hd, eps=1e-6, name="k_norm")
                 qg, kg = q_norm.scale(), k_norm.scale()
+                from ..ops.pallas import runtime_interpret
                 if qa is not None:
                     from ..ops.pallas.attn_kernel import fused_attn_block_q8
                     return fused_attn_block_q8(x, c, ln_g, qa, qg, kg,
                                                ln_eps=ln_eps,
-                                               qk_eps=q_norm.eps)
+                                               qk_eps=q_norm.eps,
+                                               interpret=runtime_interpret())
                 from ..ops.pallas.attn_kernel import fused_attn_block
                 kqkv, bqkv = wqkv.weights()
                 kout, _ = cproj.weights()
                 return fused_attn_block(x, c, ln_g, kqkv, bqkv, qg, kg, kout,
-                                        ln_eps=ln_eps, qk_eps=q_norm.eps)
+                                        ln_eps=ln_eps, qk_eps=q_norm.eps,
+                                        interpret=runtime_interpret())
             qkv = wqkv(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             S = T
@@ -468,15 +471,19 @@ class NoiseBlockMoE(nn.Module):
             p_id = jnp.sum(jnp.where(is_id, p, jnp.zeros_like(p)))
             return x + out + p_id.astype(x.dtype) * x
         if cfg.use_int8_moe and cfg.router_top_k == 2:
+            from ..ops.pallas import runtime_interpret
             from ..ops.pallas.moe_kernel import fused_top2_mlp_q8c
             from ..ops.quant import QuantizedExperts
             return fused_top2_mlp_q8c(
                 x, idx, p, QuantizedExperts(*self.experts_q.value),
-                residual=True, ln_g=ln_g, ln_eps=ln_eps)
+                residual=True, ln_g=ln_g, ln_eps=ln_eps,
+                interpret=runtime_interpret())
         if cfg.use_pallas_moe and cfg.router_top_k == 2:
+            from ..ops.pallas import runtime_interpret
             from ..ops.pallas.moe_kernel import fused_top2_mlp
             return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True,
-                                  ln_g=ln_g, ln_eps=ln_eps)
+                                  ln_g=ln_g, ln_eps=ln_eps,
+                                  interpret=runtime_interpret())
         return x + moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
     def _experts_out(self, x, router_probs, idx, w1, b1, w2, train):

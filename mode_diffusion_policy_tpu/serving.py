@@ -1,0 +1,105 @@
+"""Serving-mode presets: the measured inference fast paths, reachable from
+the product entrypoints.
+
+Round-2 left the headline perf (Pallas/int8 MoE, fused attention, BN-folded
+and optionally int8 encoders) enabled only via bench.py env knobs; this
+module packages the same measured configurations (docs/PERF.md
+"Serving-mode summary") as named modes for the eval CLIs and RolloutPolicy.
+Reference analog: the runtime sampler/steps overrides in
+/root/reference/mode/evaluation/mode_evaluate.py:248-259 — the framework's
+runtime knobs additionally cover the TPU execution strategy.
+
+Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
+
+- ``reference``       plain XLA bf16/f32 graph, no Pallas — the strict
+                      bit-for-bit baseline (~966 chunks/s).
+- ``parity``          int8 MoE kernel + fused attention kernel + BN-folded
+                      encoders: 1702 chunks/s, action MAE vs bf16 6e-5
+                      (20x under the 1e-3 parity budget).
+- ``max-throughput``  parity + int8 encoder convs + int8 attention
+                      projections: 1947 chunks/s, action MAE ~6e-3 — over
+                      the parity budget; validate on your checkpoint's task
+                      metric before serving.
+- ``b1-latency``      int8 MoE + folded bf16 encoders, UNFUSED attention
+                      (single-grid-step weight DMA cannot overlap compute at
+                      batch 1): ~6.5-8 ms per 10-step chunk.
+- ``auto``            ``parity`` on TPU, ``reference`` elsewhere (off-TPU
+                      the Pallas kernels run in interpret mode — correct but
+                      slow, for tests/debug only).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+SERVING_MODES = ("reference", "parity", "max-throughput", "b1-latency",
+                 "auto")
+
+
+def resolve_serving_mode(mode: str) -> str:
+    if mode not in SERVING_MODES:
+        raise ValueError(f"unknown serving mode {mode!r}; pick one of "
+                         f"{SERVING_MODES}")
+    if mode == "auto":
+        import jax
+        return "parity" if jax.default_backend() == "tpu" else "reference"
+    return mode
+
+
+def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
+                       ) -> Tuple["MoDEAgent", dict]:
+    """Reconfigure (agent, variables) for a serving mode.
+
+    Call AFTER checkpoint restore — the derived collections (folded encoder
+    params, int8 weight quantizations) are computed from the loaded weights.
+    ``calib_batch`` (dict with 'rgb_static'/'rgb_gripper' [B,T,H,W,3] and
+    'lang_emb') calibrates static int8 encoder activation scales for
+    ``max-throughput``; without it the encoders use dynamic per-tensor
+    scales (accuracy-safe, but the extra max pass erases most of the int8
+    conv win — docs/PERF.md "int8 encoder convs").
+    """
+    from .models.agent import MoDEAgent
+
+    mode = resolve_serving_mode(mode)
+    if mode == "reference":
+        return agent, variables
+
+    cfg = agent.cfg
+    head_dim = cfg.latent_dim // cfg.n_heads
+    # the fused kernels cover the reference's flagship shapes; fall back per
+    # feature where a config is outside a kernel's tiling support
+    fusable_attn = head_dim % 128 == 0
+    # the fused MoE kernels serve the routed top-2 gather (identity-expert
+    # selections and the shared expert are handled outside the kernel —
+    # modedit._override_out)
+    top2 = (cfg.top_k - (1 if cfg.use_shared_expert else 0)) == 2
+
+    flags = dict(use_pallas_moe=top2, use_int8_moe=top2)
+    if mode == "b1-latency":
+        flags.update(use_pallas_attn=False, use_int8_attn=False)
+    else:
+        flags.update(use_pallas_attn=fusable_attn,
+                     use_int8_attn=(mode == "max-throughput" and fusable_attn))
+    if not top2:
+        logger.warning("serving mode %s: routed top-k=%d outside the fused "
+                       "top-2 kernel — MoE stays on the XLA gather path",
+                       mode, cfg.top_k - (1 if cfg.use_shared_expert else 0))
+    if not fusable_attn and mode != "b1-latency":
+        logger.warning("serving mode %s: head_dim=%d not a lane multiple — "
+                       "attention stays on the XLA path", mode, head_dim)
+
+    new_agent = MoDEAgent(dataclasses.replace(cfg, **flags))
+    variables = new_agent.fold_encoders_for_inference(variables)
+    if flags["use_int8_moe"] or flags["use_int8_attn"]:
+        variables = new_agent.quantize_for_inference(variables)
+    if mode == "max-throughput":
+        if calib_batch is None:
+            logger.warning("max-throughput without calib_batch: int8 "
+                           "encoders use dynamic activation scales (slower; "
+                           "pass a representative batch to calibrate)")
+        variables = new_agent.quantize_encoders_for_inference(
+            variables, calib_batch=calib_batch)
+    return new_agent, variables
