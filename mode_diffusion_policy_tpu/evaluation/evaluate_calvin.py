@@ -31,21 +31,66 @@ def load_val_annotations(path=None):
         return yaml.safe_load(f)
 
 
+# model-shape/sampler flags the CLI can override; parser defaults are None
+# so "not passed" is distinguishable from "explicitly set" — when the
+# checkpoint dir carries the training run's resolved config
+# (<run>/.hydra/config.yaml, written by persist_resolved_config and present
+# in the reference's published checkpoint dirs too), the model is rebuilt
+# from THAT and CLI flags apply on top (reference
+# /root/reference/mode/evaluation/utils.py:159-163 semantics)
+MODEL_ARG_DEFAULTS = {
+    "sampler_type": "ddim", "num_sampling_steps": 10,
+    "noise_scheduler": "exponential", "sigma_min": 0.001, "sigma_max": 80.0,
+    "latent_dim": 1024, "n_layers": 12, "resnet_type": "50",
+}
+
+
+def find_train_config(checkpoint):
+    """Locate the persisted training config for a checkpoint path: the run
+    dir's .hydra/config.yaml (orbax runs + published reference dirs), also
+    searched one/two levels up for saved_models/<step> paths."""
+    if not checkpoint:
+        return None
+    ckpt = Path(checkpoint)
+    candidates = [ckpt]
+    if ckpt.name.isdigit():               # <run>/saved_models/<step>
+        candidates += [ckpt.parent, ckpt.parent.parent]
+    for base in candidates:
+        for rel in (".hydra/config.yaml", "config.yaml"):
+            p = base / rel
+            if p.is_file():
+                import logging
+                from ..config.loader import resolve_interpolations
+                with open(p) as f:
+                    cfg = yaml.safe_load(f)
+                if isinstance(cfg, dict) and "model" in cfg:
+                    logging.getLogger(__name__).info(
+                        "model shape from training config %s", p)
+                    return resolve_interpolations(cfg)
+    return None
+
+
 def build_agent(args):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from ..models.agent import MoDEAgent, MoDEAgentConfig
     from ..training.state import TrainState
 
-    cfg = MoDEAgentConfig(
-        sampler_type=args.sampler_type,
-        num_sampling_steps=args.num_sampling_steps,
-        noise_scheduler=args.noise_scheduler,
-        sigma_min=args.sigma_min, sigma_max=args.sigma_max,
-        latent_dim=args.latent_dim, n_layers=args.n_layers,
-        resnet_type=args.resnet_type,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    overrides = {k: getattr(args, k) for k in MODEL_ARG_DEFAULTS
+                 if getattr(args, k, None) is not None}
+    train_cfg = find_train_config(args.checkpoint)
+    if train_cfg is not None:
+        from ..config.builders import build_agent as build_agent_from_cfg
+        agent, _, _ = build_agent_from_cfg(train_cfg["model"], dtype=dtype)
+        cfg = agent.cfg
+    else:
+        cfg = MoDEAgentConfig(dtype=dtype, **MODEL_ARG_DEFAULTS)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     agent = MoDEAgent(cfg)
     variables = agent.init_variables(jax.random.PRNGKey(0),
                                      image_hw=(args.image_size,
@@ -84,13 +129,20 @@ def build_agent(args):
             for enc in ("static_resnet", "gripper_resnet"):
                 try:
                     conv = convert_film_resnet(
-                        sd, depth=int(args.resnet_type), prefix=f"{enc}.")
+                        sd, depth=int(cfg.resnet_type), prefix=f"{enc}.")
                     variables["params"][enc] = conv["params"]
                     variables["batch_stats"][enc] = conv["batch_stats"]
                 except KeyError:
                     logger.warning("no %s weights in checkpoint", enc)
             logger.info("converted torch checkpoint %s (layers=%d experts=%d)",
                         ckpt, n_layers, n_experts)
+    # serving-mode fast paths (Pallas/int8 MoE, fused attention, folded/int8
+    # encoders) — applied AFTER restore so the derived collections are built
+    # from the loaded weights (docs/PERF.md serving-mode table)
+    from ..serving import apply_serving_mode, resolve_serving_mode
+    mode = resolve_serving_mode(getattr(args, "serving_mode", "auto"))
+    logger.info("serving mode: %s", mode)
+    agent, variables = apply_serving_mode(agent, variables, mode)
     return agent, variables
 
 
@@ -126,17 +178,25 @@ def main(argv=None):
     p.add_argument("--dataset-path", default=None)
     p.add_argument("--num-sequences", type=int, default=1000)
     p.add_argument("--ep-len", type=int, default=360)
-    p.add_argument("--sampler-type", default="ddim")
-    p.add_argument("--num-sampling-steps", type=int, default=10)
-    p.add_argument("--noise-scheduler", default="exponential")
-    p.add_argument("--sigma-min", type=float, default=0.001)
-    p.add_argument("--sigma-max", type=float, default=80.0)
-    p.add_argument("--latent-dim", type=int, default=1024)
-    p.add_argument("--n-layers", type=int, default=12)
-    p.add_argument("--resnet-type", default="50")
+    # model/sampler flags: None = "use the training run's persisted config
+    # (.hydra/config.yaml in the checkpoint dir) or the flagship defaults";
+    # a passed value always wins (MODEL_ARG_DEFAULTS)
+    p.add_argument("--sampler-type", default=None)
+    p.add_argument("--num-sampling-steps", type=int, default=None)
+    p.add_argument("--noise-scheduler", default=None)
+    p.add_argument("--sigma-min", type=float, default=None)
+    p.add_argument("--sigma-max", type=float, default=None)
+    p.add_argument("--latent-dim", type=int, default=None)
+    p.add_argument("--n-layers", type=int, default=None)
+    p.add_argument("--resnet-type", default=None)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--serving-mode", default="auto",
+                   help="TPU fast-path preset: reference | parity | "
+                        "max-throughput | b1-latency | auto (parity on TPU, "
+                        "reference elsewhere). docs/PERF.md has the measured "
+                        "speed/accuracy of each.")
     p.add_argument("--clip-checkpoint", default=None,
                    help="OpenAI CLIP state dict for the language tower "
                         "(random-init tower otherwise; required for "

@@ -79,6 +79,11 @@ def train(cfg: dict):
         rollout_callback=rollout_callback,
         preprocess_fn=make_train_preprocess(pipelines))
 
+    # persist the resolved config into the run dir (reference .hydra layout)
+    # so eval CLIs can rebuild the model shape without re-typed flags
+    from .training_common import persist_resolved_config
+    persist_resolved_config(cfg, trainer.logger.log_dir)
+
     image_hw = (pipelines["rgb_static"]["size"],
                 pipelines["rgb_static"]["size"])
     state = trainer.setup(jax.random.PRNGKey(seed), image_hw=image_hw)

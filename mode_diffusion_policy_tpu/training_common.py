@@ -23,6 +23,30 @@ DEFAULT_PIPELINES = {
 }
 
 
+def persist_resolved_config(cfg: Dict, log_dir) -> None:
+    """Write the fully-resolved run config to <log_dir>/.hydra/config.yaml —
+    the reference's hydra run-dir layout (evaluation/utils.py:159-163 merges
+    exactly this file at eval time) — so evaluate_calvin/evaluate_libero can
+    rebuild the trained model shape from the checkpoint dir alone and CLI
+    flags become overrides instead of required re-typed hyperparameters."""
+    import yaml
+    from pathlib import Path
+
+    def plain(node):
+        if isinstance(node, dict):
+            return {str(k): plain(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [plain(v) for v in node]
+        if isinstance(node, (str, int, float, bool)) or node is None:
+            return node
+        return str(node)
+
+    d = Path(log_dir) / ".hydra"
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / "config.yaml", "w") as f:
+        yaml.safe_dump(plain(cfg), f, sort_keys=False)
+
+
 def parse_camera_pipelines(transforms_cfg: Optional[Dict]) -> Dict[str, Dict]:
     """{'rgb_static': {'size', 'pad'[, 'jitter', 'erasing']}, ...} from the
     (train) transform specs, plus optional 'word_dropout_p' for a language

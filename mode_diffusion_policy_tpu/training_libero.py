@@ -77,6 +77,9 @@ def train(cfg: dict):
         monitor=callbacks_cfg.get("checkpoint", {}).get(
             "monitor", "eval/avg_success_rate"))
 
+    from .training_common import persist_resolved_config
+    persist_resolved_config(cfg, trainer.logger.log_dir)
+
     image_hw = (pipelines["rgb_static"]["size"],
                 pipelines["rgb_static"]["size"])
     state = trainer.setup(jax.random.PRNGKey(seed), image_hw=image_hw)
