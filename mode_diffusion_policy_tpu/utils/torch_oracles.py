@@ -1,10 +1,12 @@
-"""Torch-side golden FiLM-ResNet for converter/semantics parity tests.
+"""Torch-side golden FiLM-ResNet for checkpoint-fidelity validation.
 
-torchvision/timm are not installed in this environment, so this builds the
-standard torchvision-layout ResNet (conv1/bn1/layer{1-4}, v1.5 bottleneck
-stride placement) from torch.nn primitives, with state-dict keys identical to
-the timm 'resnet50'/'resnet18' checkpoints the reference loads
-(pretrained_resnets.py:29,67,106). It exists only as a test oracle."""
+Validation-only module (requires torch; never on the TPU compute path): used
+by tests and by utils/verify_checkpoint.py as the PyTorch half of the
+fidelity comparison. It builds the standard torchvision-layout ResNet
+(conv1/bn1/layer{1-4}, v1.5 bottleneck stride placement) from torch.nn
+primitives, with state-dict keys identical to the timm 'resnet50'/'resnet18'
+checkpoints the reference loads (pretrained_resnets.py:29,67,106) — needed
+because timm itself is not installed in this environment."""
 import torch
 import torch.nn as nn
 

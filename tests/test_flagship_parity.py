@@ -30,7 +30,7 @@ from mode_diffusion_policy_tpu.utils.checkpoint_convert import (
 from reference_oracle import load_reference_modedit
 from test_precond_parity import load_ref_precond
 from test_samplers_parity import load_reference_sampling
-from torch_resnet_oracle import TorchFiLMResNetPolicy
+from mode_diffusion_policy_tpu.utils.torch_oracles import TorchFiLMResNetPolicy
 
 B = 2
 # 112px keeps the CPU suite fast; every weight shape, converter mapping and

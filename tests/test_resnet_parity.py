@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from mode_diffusion_policy_tpu.models.encoders.resnet import (
     FiLMResNetPolicy, ResNetEncoderWithFiLM)
 from mode_diffusion_policy_tpu.utils.checkpoint_convert import convert_film_resnet
-from torch_resnet_oracle import TorchFiLMResNetPolicy
+from mode_diffusion_policy_tpu.utils.torch_oracles import TorchFiLMResNetPolicy
 
 B, H, W, COND = 2, 64, 64, 24
 
