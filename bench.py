@@ -196,8 +196,12 @@ def main():
     if os.environ.get("BENCH_LATENCY", "1") == "1":
         import dataclasses
 
+        # BENCH_LAT_FUSED=1 keeps the fused attention kernel at b=1 —
+        # round 3's chunk-level bf16 weight pre-cast halves its per-step
+        # weight DMA (the round-2 reason to unfuse at batch 1)
+        lat_fused = os.environ.get("BENCH_LAT_FUSED", "0") == "1"
         lat_agent = MoDEAgent(dataclasses.replace(
-            cfg, use_pallas_attn=False, use_int8_attn=False))
+            cfg, use_pallas_attn=lat_fused, use_int8_attn=False))
         repeat_n_lat = make_repeat_n(lat_agent)
         rs1, rg1, le1 = rgb_static[:1], rgb_gripper[:1], lang_emb[:1]
         np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, 1))

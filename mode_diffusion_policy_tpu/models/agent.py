@@ -43,6 +43,61 @@ def _tree_has_key(tree, key) -> bool:
     if not isinstance(tree, dict):
         return False
     return key in tree or any(_tree_has_key(v, key) for v in tree.values())
+
+
+# matmul-feeding parameter leaves: pre-cast these to the compute dtype ONCE
+# per chunk on the inference fast path. The modules cast them per use anyway
+# (DenseP dtype / in-VMEM casts), but inside the sampler scan that means
+# either a re-materialized bf16 copy every denoise step or (Pallas) reading
+# the f32 bytes over HBM — 16.6 MB/layer-step for the fused attention kernel
+# alone (docs/PERF.md). Norm scales stay f32 (the kernels' norm math is f32).
+_CAST_LEAF_NAMES = ("kernel", "bias", "pos_emb")
+_CAST_LEAF_PREFIXES = ("experts_", "shared_")
+
+
+def _clip_candidates(calib_tree, headroom: float = 1.0):
+    """(label, clip_tree) candidates for the int8 encoder activation clips,
+    built from the calibration sow tree ({conv: {act_amax, act_msq}}):
+
+    - ``amax``: the per-channel maxima (round-2 behavior — no clipping, all
+      quantization error lands in the folded weights)
+    - ``amax*q``: fractional amax (percentile-style clipping)
+    - ``k*sigma``: min(amax, k * per-channel RMS) — for heavy-tailed
+      activations the MSE-optimal int8 clip sits near 3-4 sigma, trading a
+      little clipping for 8-bit resolution on the bulk of the mass
+
+    The caller picks the winner by final-feature MSE on the calibration
+    batch (quantize_encoders_for_inference)."""
+
+    def build(node, fn):
+        if isinstance(node, dict) and "act_amax" in node:
+            amax = jnp.asarray(node["act_amax"], jnp.float32)
+            msq = jnp.asarray(node.get("act_msq", amax ** 2), jnp.float32)
+            return {"act_amax": jnp.maximum(fn(amax, msq) * headroom, 1e-6)}
+        return {k: build(v, fn) for k, v in node.items()
+                if isinstance(v, dict)}
+
+    cands = [("amax", lambda a, m: a)]
+    for qf in (0.9, 0.8, 0.7):
+        cands.append((f"amax*{qf}", lambda a, m, qf=qf: a * qf))
+    for k in (3.0, 3.5, 4.0):
+        cands.append((f"{k}*sigma",
+                      lambda a, m, k=k: jnp.minimum(a, k * jnp.sqrt(m))))
+    return [(label, build(calib_tree, fn)) for label, fn in cands]
+
+
+def _cast_matmul_weights(tree, dt):
+    import jax.tree_util as jtu
+
+    def walk(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if x.dtype == jnp.float32 and (
+                name in _CAST_LEAF_NAMES
+                or any(name.startswith(p) for p in _CAST_LEAF_PREFIXES)):
+            return x.astype(dt)
+        return x
+
+    return jtu.tree_map_with_path(walk, tree)
 from .edm.densities import make_sample_density
 from .edm.samplers import sample_loop
 
@@ -221,11 +276,17 @@ class MoDEAgent:
         Without ``calib_batch`` the activation scales are dynamic (max |x|
         per call — accuracy-safe but the extra pass erases the int8 conv
         win). With ``calib_batch`` — a dict with 'rgb_static', 'rgb_gripper'
-        [B,T,H,W,3] and 'lang_emb' — per-conv per-input-channel act_scale
-        params are calibrated from one dynamic forward (amax * headroom),
-        folded into the quantized kernels, and the fast static-scale modules
-        are used. Approximate either way — validate the end-to-end action
-        MAE for your checkpoint (docs/PERF.md)."""
+        [B,T,H,W,3] and 'lang_emb' — the static per-input-channel clip
+        scales are SELECTED per encoder by minimizing final-feature MSE vs
+        the float path over candidate clips (pure amax, fractional amax,
+        and k*sigma_c RMS-based — round-3 accuracy recovery, docs/PERF.md
+        "int8 encoder convs"), folded into the quantized kernels, and the
+        fast static-scale modules are used. Approximate either way —
+        validate the end-to-end action MAE for your checkpoint
+        (utils/verify_checkpoint.py --int8-encoders does this the moment
+        real weights are available)."""
+        import logging
+
         from .encoders.resnet import quantize_resnet_params
         if "folded_params" not in variables:
             variables = self.fold_encoders_for_inference(variables)
@@ -236,9 +297,11 @@ class MoDEAgent:
         if calib_batch is None:
             return {**variables, "q8_encoder_params": q}
 
+        log_ = logging.getLogger(__name__)
         cond = calib_batch["lang_emb"]
         cond = cond[:, 0] if cond.ndim == 3 else cond
         mod = self._mk_encoder(True, q8=True, q8_skip=skip)
+        static_mod = self._mk_encoder(True, q8="static", q8_skip=skip)
         for name, imgs in (("static_resnet", calib_batch["rgb_static"]),
                            ("gripper_resnet", calib_batch["rgb_gripper"])):
             x = imgs.reshape((-1,) + imgs.shape[2:])
@@ -246,11 +309,25 @@ class MoDEAgent:
             # (embed_visual_obs repeats it the same way at inference)
             T = imgs.shape[1]
             cond_rep = jnp.repeat(cond, T, axis=0) if T > 1 else cond
+            folded = variables["folded_params"][name]
+            fold_mod = (self.static_resnet_folded if name == "static_resnet"
+                        else self.gripper_resnet_folded)
+            ref = fold_mod.apply({"params": folded}, x, cond_rep, train=False)
             _, calib = mod.apply({"params": q[name]}, x, cond_rep,
                                  train=False, mutable=["calib"])
-            q[name] = quantize_resnet_params(
-                variables["folded_params"][name],
-                act_amax=calib["calib"], headroom=headroom, skip=skip)
+            best = None
+            for label, clips in _clip_candidates(calib["calib"], headroom):
+                qp = quantize_resnet_params(folded, act_amax=clips, skip=skip)
+                feat = static_mod.apply({"params": qp}, x, cond_rep,
+                                        train=False)
+                mse = float(jnp.mean(jnp.square(
+                    feat.astype(jnp.float32) - ref.astype(jnp.float32))))
+                if best is None or mse < best[0]:
+                    best = (mse, label, qp)
+            ref_sq = float(jnp.mean(jnp.square(ref.astype(jnp.float32))))
+            log_.info("int8 calibration %s: clip=%s, feature rel err %.4f",
+                      name, best[1], (best[0] / max(ref_sq, 1e-12)) ** 0.5)
+            q[name] = best[2]
         return {**variables, "q8_encoder_params": q}
 
     def quantize_for_inference(self, variables):
@@ -407,27 +484,63 @@ class MoDEAgent:
             jnp.asarray(sigmas), method=MoDeDiT.precompute_routing)
 
     def make_denoiser(self, variables, perceptual_emb, latent_goal,
-                      routing=None) -> Callable:
+                      routing=None, sigmas=None) -> Callable:
         """Returns denoiser(x, sigma_vec, step_idx) for the samplers. With
         ``routing``, scheduled steps (step_idx >= 0, traced) gather the
-        precomputed top-2 experts; off-schedule midpoint evals (literal -1)
-        route inline."""
+        precomputed top-2 experts AND run the hoisted-embedding fast forward
+        (MoDeDiT.forward_precomputed): camera/goal tokens, per-step sigma
+        tokens, and the EDM scalings are computed ONCE per chunk instead of
+        inside every scan step (docs/PERF.md "sampler glue"). Off-schedule
+        midpoint evals (literal -1) route + embed inline."""
         cfg = self.cfg
+        from .modedit import MoDeDiT as _DiT
+
+        pre = None
+        fast_vars = None
+        if routing is not None:
+            fast_vars = _dit_vars(variables)
+            if cfg.dtype == jnp.bfloat16:
+                # bf16-resident matmul weights: cast once per chunk, outside
+                # the sampler scan (bit-identical — the per-step path casts
+                # the same leaves to cfg.dtype per use)
+                fast_vars = {**fast_vars,
+                             "params": _cast_matmul_weights(
+                                 fast_vars["params"], cfg.dtype)}
+            sched = jnp.asarray(np.asarray(self.sigmas if sigmas is None
+                                           else sigmas)[:-1], jnp.float32)
+            static_x, goal_embed = self.dit.apply(
+                fast_vars, perceptual_emb, latent_goal,
+                method=_DiT.embed_static_tokens)
+            emb_all = self.dit.apply(
+                fast_vars, sched,
+                method=_DiT.process_sigma_embeddings)       # [S,1,D]
+            from .edm.precond import edm_scalings
+            cs_all, co_all, ci_all = edm_scalings(sched, cfg.sigma_data)
+            pre = (static_x, goal_embed, emb_all, cs_all, co_all, ci_all)
 
         def denoiser(x, sigma, step_idx):
-            overrides = None
             use_fast = routing is not None and not (
                 isinstance(step_idx, int) and step_idx < 0)
             if use_fast:
                 overrides = [(jnp.take(idx, step_idx, axis=0),
                               jnp.take(p, step_idx, axis=0))
                              for idx, p in routing]
+                static_x, goal_embed, emb_all, cs_all, co_all, ci_all = pre
+                emb_t = jnp.take(emb_all, step_idx, axis=0)[None]  # [1,1,D]
+                cs = jnp.take(cs_all, step_idx)
+                co = jnp.take(co_all, step_idx)
+                ci = jnp.take(ci_all, step_idx)
+                pred = self.dit.apply(
+                    fast_vars, static_x, goal_embed, emb_t,
+                    x * ci, moe_overrides=overrides,
+                    method=_DiT.forward_precomputed)
+                return pred * co + x * cs
 
             def inner_apply(states, scaled_actions, goal, sigma, **kw):
                 return self.dit.apply(
                     _dit_vars(variables),
                     states, scaled_actions, goal, sigma, train=False,
-                    moe_overrides=overrides)
+                    moe_overrides=None)
 
             return denoiser_forward(inner_apply, perceptual_emb, x,
                                     latent_goal, sigma,
@@ -452,7 +565,7 @@ class MoDEAgent:
         if use_routing_precompute:
             routing = self.precompute_routing(variables, sigmas[:-1])
         denoiser = self.make_denoiser(variables, perceptual_emb, latent_goal,
-                                      routing)
+                                      routing, sigmas=sigmas)
         return sample_loop(cfg.sampler_type, denoiser, x, sigmas, k_samp,
                            extra_args)
 

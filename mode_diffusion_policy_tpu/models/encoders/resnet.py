@@ -141,6 +141,14 @@ class QuantConv(nn.Module):
             self.sow("calib", "act_amax", amax_c,
                      reduce_fn=lambda a, b: jnp.maximum(a, b) if a is not None
                      else b, init_fn=lambda: None)
+            # per-channel RMS too: the clip-selection search builds
+            # k*sigma_c candidate clips from it (quantize_encoders_for_
+            # inference; amax alone over-spends int8 range on outliers)
+            msq_c = jnp.mean(jnp.square(x.astype(jnp.float32)),
+                             axis=tuple(range(x.ndim - 1)))
+            self.sow("calib", "act_msq", msq_c,
+                     reduce_fn=lambda a, b: jnp.maximum(a, b) if a is not None
+                     else b, init_fn=lambda: None)
             sx = jnp.maximum(jnp.max(amax_c), 1e-6) / 127.0
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / sx)),
                           -127, 127).astype(jnp.int8)

@@ -672,6 +672,62 @@ class MoDeDiT(nn.Module):
             return pred, aux_layers
         return pred
 
+    # -- chunked-inference fast path (round 3) ----------------------------
+    # The denoise scan re-embedded every step what never changes within a
+    # chunk: the camera/goal tokens (x never feeds them) and the sigma token
+    # (the schedule's sigma is one scalar per step). docs/PERF.md measured
+    # ~0.7 ms/denoise-step of such glue at b=128 — these two methods hoist
+    # the invariant embeddings out of the scan; forward_precomputed embeds
+    # only the action tokens per step.
+    def embed_static_tokens(self, states: Dict[str, jax.Array],
+                            goals: jax.Array, *, uncond: bool = False):
+        """Step-invariant token block [B, g+T_s, D] (goal tokens + camera
+        tokens, position-embedded) plus the raw goal embedding (for
+        use_goal_in_routing cond tokens)."""
+        cfg = self.cfg
+        goals = self.preprocess_goals(goals, train=False, uncond=uncond)
+        state_embed = self.tok_emb(states["state_images"].astype(cfg.dtype))
+        goal_embed = self.goal_emb(goals.astype(cfg.dtype))
+        pos = self.pos_emb.astype(cfg.dtype)
+        g, t = cfg.goal_seq_len, 1
+        goal_x = goal_embed + pos[:, :g, :]
+        state_x = state_embed + pos[:, g:(g + t), :]
+        seqs = ([goal_x] if cfg.goal_conditioned else []) + [state_x]
+        return jnp.concatenate(seqs, axis=1), goal_embed
+
+    def forward_precomputed(self, static_x: jax.Array, goal_embed: jax.Array,
+                            emb_t: jax.Array, actions: jax.Array, *,
+                            moe_overrides=None,
+                            context: Optional[jax.Array] = None):
+        """One denoise-scan step given precomputed invariants: embeds only
+        the action tokens, reuses ``static_x`` (embed_static_tokens) and the
+        per-step sigma token ``emb_t`` [1, 1, D] (process_sigma_embeddings
+        of the scheduled scalar sigma). Identical math to __call__ with
+        train=False — the embeddings are merely hoisted."""
+        cfg = self.cfg
+        B = actions.shape[0]
+        g, t = cfg.goal_seq_len, 1
+        pos = self.pos_emb.astype(cfg.dtype)
+        action_embed = self.action_emb(actions.astype(cfg.dtype))
+        action_x = action_embed + pos[:, (g + t - 1):, :]
+        emb_t = jnp.broadcast_to(emb_t, (B,) + emb_t.shape[1:])
+        seqs = ([emb_t] if cfg.use_noise_token_as_input else []) + \
+            [jnp.broadcast_to(static_x, (B,) + static_x.shape[1:]), action_x]
+        x = jnp.concatenate(seqs, axis=1)
+        cond_token = emb_t
+        if cfg.use_goal_in_routing:
+            cond_token = cond_token + goal_embed
+        if context is None:
+            context = cond_token
+        for i, block in enumerate(self.blocks):
+            ov = None if moe_overrides is None else moe_overrides[i]
+            x, _ = block(x, cond_token, train=False, context=context,
+                         moe_override=ov)
+        # the head reads only the trailing action tokens — normalize just
+        # those (ln is per-token)
+        x = self.ln(x[:, -cfg.action_seq_len:, :])
+        return self.out(x)
+
     # -- routing precompute (inference fast path) -------------------------
     def precompute_routing(self, sigmas: jax.Array):
         """For each sigma in [S] return per-layer (idx [S,k], probs [S,k]) —

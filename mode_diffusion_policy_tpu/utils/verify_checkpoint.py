@@ -190,7 +190,8 @@ class Report:
 def verify(checkpoint: str, reference_repo: str, clip: Optional[str] = None,
            resnet_ckpt: Optional[str] = None, tolerance: float = GATE_DEFAULT,
            image_size: int = 112, batch: int = 2, seed: int = 0,
-           num_sampling_steps: int = 10) -> Report:
+           num_sampling_steps: int = 10, int8_encoders: bool = False,
+           int8_tolerance: Optional[float] = None) -> Report:
     import torch
 
     import jax
@@ -257,6 +258,7 @@ def verify(checkpoint: str, reference_repo: str, clip: Optional[str] = None,
 
     # ---- encoders ---------------------------------------------------------
     has_encoders = depth is not None
+    enc_imgs = {}
     if has_encoders:
         st_feats = {}
         for enc in ("static_resnet", "gripper_resnet"):
@@ -272,6 +274,7 @@ def verify(checkpoint: str, reference_repo: str, clip: Optional[str] = None,
             variables["batch_stats"][enc] = conv["batch_stats"]
             img = (rng.standard_normal((B, 3, image_size, image_size))
                    .astype(np.float32) * 0.3)
+            enc_imgs[enc] = img
             with torch.no_grad():
                 t_feat = tenc(torch.tensor(img), torch.tensor(goal)).numpy()
             # published checkpoints carry the pretrained *policy*-style
@@ -335,6 +338,32 @@ def verify(checkpoint: str, reference_repo: str, clip: Optional[str] = None,
     report.add("e2e/routing_precompute", float(np.abs(fast - dense).mean()),
                gate=1e-5)
 
+    # ---- optional: int8-encoder serving mode on the REAL weights ----------
+    # The random-weight harness is the worst case for int8 (iid channel
+    # ranges); this measures the actual divergence of the max-throughput
+    # encoder path for the checkpoint at hand (report-only unless
+    # --int8-tolerance is set). docs/PERF.md "int8 encoder convs".
+    if int8_encoders and has_encoders:
+        nhwc = {k: jnp.asarray(np.transpose(v, (0, 2, 3, 1))[:, None])
+                for k, v in enc_imgs.items()}
+        calib = {"rgb_static": nhwc["static_resnet"],
+                 "rgb_gripper": nhwc["gripper_resnet"],
+                 "lang_emb": jnp.asarray(goal)}
+        v2 = agent.fold_encoders_for_inference(variables)
+        v2 = agent.quantize_encoders_for_inference(v2, calib_batch=calib)
+        emb_q, _ = agent.embed_visual_obs(
+            v2, nhwc["static_resnet"], nhwc["gripper_resnet"],
+            jnp.asarray(goal), train=False)
+        gate_q = int8_tolerance if int8_tolerance else float("inf")
+        den_q = agent.make_denoiser(variables, emb_q, jnp.asarray(goal))
+        j_q = np.asarray(jax.jit(lambda x: sample_loop(
+            "ddim", den_q, x, sigmas, jax.random.PRNGKey(0)))(
+            jnp.asarray(x0)))
+        report.add("e2e/int8_encoders (vs torch)",
+                   float(np.abs(j_q - t_out).mean()), gate=gate_q,
+                   note="" if int8_tolerance else
+                   "report-only (set --int8-tolerance to gate)")
+
     # ---- optional CLIP text tower ----------------------------------------
     if clip:
         _verify_clip(clip, reference_repo, report, seed)
@@ -389,6 +418,11 @@ def main(argv=None):
     p.add_argument("--reference-repo", default="/root/reference",
                    help="path to the PyTorch reference repo (oracle side)")
     p.add_argument("--tolerance", type=float, default=GATE_DEFAULT)
+    p.add_argument("--int8-encoders", action="store_true",
+                   help="also measure the int8-encoder (max-throughput) "
+                        "path's e2e action MAE on these weights")
+    p.add_argument("--int8-tolerance", type=float, default=None,
+                   help="gate the int8-encoder check (report-only if unset)")
     p.add_argument("--image-size", type=int, default=112,
                    help="input resolution for the encoder checks (112 keeps "
                         "CPU runs fast; weight coverage identical to 224)")
@@ -401,7 +435,8 @@ def main(argv=None):
     report = verify(args.checkpoint, args.reference_repo, clip=args.clip,
                     resnet_ckpt=args.resnet, tolerance=args.tolerance,
                     image_size=args.image_size, batch=args.batch,
-                    seed=args.seed)
+                    seed=args.seed, int8_encoders=args.int8_encoders,
+                    int8_tolerance=args.int8_tolerance)
     verdict = "PASS" if report.ok else "FAIL"
     print(f"fidelity: {verdict} ({len(report.rows)} checks, "
           f"tolerance {args.tolerance:g})")

@@ -131,3 +131,31 @@ def test_rollout_policy_chunking(agent_and_vars):
     policy.reset()
     a_new = policy.step(obs, goal)
     assert a_new.shape == (1, 7)
+
+def test_bf16_fast_path_matches_bf16_dense(agent_and_vars):
+    """The chunk-level bf16 weight pre-cast (_cast_matmul_weights) must be
+    numerically identical to the per-step casts of the dense bf16 path —
+    same leaves end up bf16 either way (round-3 sampler-glue/b1-latency
+    lever)."""
+    import dataclasses
+    agent_f32, variables = agent_and_vars
+    agent = MoDEAgent(dataclasses.replace(CFG, dtype=jnp.bfloat16))
+    batch = make_batch()
+    emb, _ = agent.embed_visual_obs(
+        variables, jnp.asarray(batch["rgb_static"]),
+        jnp.asarray(batch["rgb_gripper"]), jnp.asarray(batch["lang_emb"]),
+        train=False)
+    goal = jnp.asarray(batch["lang_emb"])
+    key = jax.random.PRNGKey(3)
+    slow = agent.denoise_actions(variables, emb, goal, key, inference=True,
+                                 use_routing_precompute=False)
+    fast = agent.denoise_actions(variables, emb, goal, key, inference=True,
+                                 use_routing_precompute=True)
+    # eager step-by-step the two paths are BIT-EQUAL (verified when this
+    # lever landed); inside jit the hoisted program fuses differently and
+    # bf16 rounding reorders — tolerance covers that compile noise only
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(slow, np.float32), atol=5e-3)
+    mae = np.abs(np.asarray(fast, np.float32)
+                 - np.asarray(slow, np.float32)).mean()
+    assert mae <= 5e-4, mae
