@@ -49,7 +49,9 @@ def main():
     cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
                           cond_dim=512, resnet_type="50", num_experts=4,
                           top_k=2, entropy_gamma=0.01, router_z_delta=0.001,
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16,
+                          encoder_remat=os.environ.get("BENCH_REMAT",
+                                                       "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     variables = agent.init_variables(jax.random.PRNGKey(0),
@@ -154,9 +156,29 @@ def main():
         l, g = jax.value_and_grad(loss_of)(state.params)
         return k, l + _consume(g)
 
+    def body_opt(key, i):
+        # optimizer+EMA in isolation: grads = params * per-iter scalar
+        # (the multiply fuses into the update kernels — no materialized
+        # grads tree, so traffic ~= the true optimizer read/write set)
+        k = jax.random.fold_in(key, i)
+        s = jax.random.uniform(k, (), minval=0.9, maxval=1.1) * 1e-3
+        g = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32) * s,
+                                   state.params)
+        if hasattr(optimizer, "update_with_ema"):
+            p2, _, e2 = optimizer.update_with_ema(
+                g, state.opt_state, state.params, state.ema_params, 0.999)
+        else:
+            import optax as _ox
+            upd, _ = optimizer.update(g, state.opt_state, state.params)
+            p2 = _ox.apply_updates(state.params, upd)
+            from mode_diffusion_policy_tpu.training.optim import ema_update
+            e2 = ema_update(state.ema_params, p2, 0.999)
+        # consume EVERY output leaf (fused reductions) or XLA DCEs the rest
+        return k, _consume(p2) + _consume(e2)
+
     stages = [("aug", body_aug), ("enc_fwd", body_enc_fwd),
               ("enc_grad", body_enc_grad), ("dit_grad", body_dit_grad),
-              ("loss_grad", body_loss_grad)]
+              ("loss_grad", body_loss_grad), ("opt", body_opt)]
     only = os.environ.get("BENCH_STAGES")
     if only:
         keep = set(only.split(","))

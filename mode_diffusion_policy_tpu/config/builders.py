@@ -171,6 +171,10 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
         use_grouped_moe=_bool(inner.get("use_grouped_moe"), False),
         use_pallas_attn=_bool(inner.get("use_pallas_attn"), False),
         use_int8_attn=_bool(inner.get("use_int8_attn"), False),
+        # model-level TPU knob: rematerialize encoder activations in the
+        # train backward (True = fit-first; False = ~8 ms/step faster at
+        # flagship b=32 when HBM allows, docs/PERF.md "train step")
+        encoder_remat=_bool(model_cfg.get("encoder_remat"), True),
     )
     agent = MoDEAgent(cfg)
 

@@ -152,6 +152,11 @@ class MoDEAgentConfig:
     use_grouped_moe: bool = False
     use_pallas_attn: bool = False
     use_int8_attn: bool = False
+    # rematerialize encoder activations in the train-step backward. True
+    # trades one extra encoder forward (~8 ms @ b=32 flagship) for ~7GB of
+    # activation memory; set False when the batch/model fits HBM without it
+    # (docs/PERF.md "train step")
+    encoder_remat: bool = True
 
     @property
     def obs_dim(self) -> int:
@@ -390,11 +395,14 @@ class MoDEAgent:
             if train:
                 # rematerialize encoder activations in the backward pass —
                 # ResNet-50 at 224px dominates training HBM otherwise
-                # (jax.checkpoint trades ~1/3 extra encoder FLOPs for ~7GB)
+                # (jax.checkpoint trades ~1/3 extra encoder FLOPs for ~7GB;
+                # cfg.encoder_remat=False skips it when memory allows)
                 def fwd(v, x, cond):
                     return mod.apply(v, x, cond, train=True,
                                      mutable=["batch_stats"])
-                out, upd = jax.checkpoint(fwd)(v, x, cond_rep)
+                if self.cfg.encoder_remat:
+                    fwd = jax.checkpoint(fwd)
+                out, upd = fwd(v, x, cond_rep)
                 return out.reshape(B, T, -1), upd["batch_stats"]
             return mod.apply(v, x, cond_rep, train=False).reshape(B, T, -1), None
 

@@ -73,11 +73,19 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
 
         (loss, (metrics, bs_upd)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
         decay = ema_decay_schedule(state.step, **ema_kwargs)
-        ema_params = ema_update(state.ema_params, params, decay)
+        if hasattr(optimizer, "update_with_ema"):
+            # FusedAdamWEma: whole AdamW+apply+EMA update in one elementwise
+            # pass per leaf (optim.py — ~2x the optax chain at flagship
+            # scale, bit-identical numerics)
+            params, opt_state, ema_params = optimizer.update_with_ema(
+                grads, state.opt_state, state.params, state.ema_params,
+                decay)
+        else:
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_update(state.ema_params, params, decay)
         metrics["train/ema_rate"] = decay
         if log_grad_norms:
             metrics.update(grad_telemetry(grads))

@@ -64,6 +64,149 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+class FusedAdamWEmaState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+class FusedAdamWEma:
+    """AdamW (+ optional global-norm clip) + masked weight decay + LR
+    schedule + parameter update + EMA maintenance as ONE elementwise pass
+    per parameter leaf.
+
+    Why: the optax chain materializes the intermediate ``updates`` tree
+    between ``scale_by_adam`` / ``add_decayed_weights`` / ``apply_updates``
+    / ``ema_update``, and at flagship scale (~0.5B params) the measured
+    optimizer+EMA stage was 37.4 ms of the 81.9 ms train step @ b=32 —
+    ~2x the ~17 ms HBM roofline of the minimal read/write set (docs/PERF.md
+    "train step"). Fusing the whole update into a single tree_map lets XLA
+    emit one loop fusion per leaf touching each byte exactly once.
+
+    Numerics replicate ``optax.adamw`` (scale_by_adam -> add_decayed_weights
+    -> scale_by_learning_rate) + ``optax.apply_updates`` + ``ema_update``
+    bit-for-bit, including the bf16 ``mu_dtype`` promotion behavior
+    (``b1*mu`` computed in bf16 before the f32 add, as optax's
+    ``tree_update_moment`` does) and the f32 bias-correction scalars
+    (tested: tests/test_training.py::test_fused_adamw_matches_optax).
+    Bit-equality holds under jit — the boundary that matters; in eager mode
+    optax's internally inline-jitted bias correction can differ by 1 ulp
+    (XLA's compiled pow lowering vs the eager kernel).
+
+    The state is a flat ``FusedAdamWEmaState(count, mu, nu)`` (not the optax
+    chain tuple); opt_state trees checkpointed with the unfused optimizer
+    are not resume-compatible. GSPMD/ZeRO-1 sharding works unchanged — the
+    update stays elementwise so XLA shards it with the state
+    (parallel/mesh.py::zero1_state_sharding).
+    """
+
+    def __init__(self, schedule, *, b1: float = 0.9, b2: float = 0.95,
+                 eps: float = 1e-8, weight_decay: float = 0.05,
+                 mask: Any = None, mu_dtype: Optional[Any] = None,
+                 max_grad_norm: Optional[float] = None):
+        self.schedule = schedule
+        self.b1, self.b2, self.eps = b1, b2, eps
+        self.weight_decay = weight_decay
+        self.mask = mask  # pytree of static Python bools (or None = decay all)
+        self.mu_dtype = mu_dtype
+        self.max_grad_norm = max_grad_norm
+
+    def init(self, params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=self.mu_dtype or p.dtype),
+            params)
+        nu = jax.tree.map(jnp.zeros_like, params)
+        return FusedAdamWEmaState(count=jnp.zeros([], jnp.int32), mu=mu,
+                                  nu=nu)
+
+    def _prep(self, grads, count):
+        """(count_inc, c1, c2, lr, clip_scale) — the per-step scalars."""
+        count_inc = optax.safe_increment(count)
+        c1 = 1 - self.b1 ** count_inc   # f32 scalars, as optax
+        c2 = 1 - self.b2 ** count_inc   # tree_bias_correction computes them
+        lr = self.schedule(count)
+        if self.max_grad_norm is not None:
+            g_norm = optax.global_norm(grads)
+            trigger = g_norm < self.max_grad_norm
+            clip = lambda t: jnp.where(  # noqa: E731 — optax clip semantics
+                trigger, t, (t / g_norm.astype(t.dtype)) * self.max_grad_norm)
+        else:
+            clip = None
+        return count_inc, c1, c2, lr, clip
+
+    def _mask_tree(self, params):
+        return self.mask if self.mask is not None else jax.tree.map(
+            lambda _: True, params)
+
+    def _leaf(self, c1, c2, lr, clip, ema_decay):
+        b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
+        mu_dtype = self.mu_dtype
+
+        def leaf(g, p, mu, nu, e, decay_p):
+            if clip is not None:
+                g = clip(g)
+            # optax tree_update_moment: b1*mu runs in mu's (maybe bf16)
+            # dtype; the (1-b1)*g term is f32 — keep that promotion order
+            mu_f = (1 - b1) * g + b1 * mu
+            nu_f = (1 - b2) * (g ** 2) + b2 * nu
+            u = (mu_f / c1.astype(mu_f.dtype)) / (
+                jnp.sqrt(nu_f / c2.astype(nu_f.dtype)) + eps)
+            if decay_p:
+                u = u + wd * p
+            u = (-lr) * u
+            p_new = jnp.asarray(p + u).astype(p.dtype)
+            mu_new = mu_f.astype(mu_dtype) if mu_dtype is not None else mu_f
+            if e is None:
+                return p_new, mu_new, nu_f, None
+            e_new = (e - (1.0 - ema_decay) * (e - p_new.astype(e.dtype))
+                     ).astype(e.dtype)
+            return p_new, mu_new, nu_f, e_new
+
+        return leaf
+
+    def update_with_ema(self, grads, state: FusedAdamWEmaState, params,
+                        ema_params, ema_decay):
+        """The fused path: returns (new_params, new_state, new_ema)."""
+        count_inc, c1, c2, lr, clip = self._prep(grads, state.count)
+        leaf = self._leaf(c1, c2, lr, clip, ema_decay)
+        out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
+                           ema_params, self._mask_tree(params))
+        is4 = lambda x: isinstance(x, tuple) and len(x) == 4  # noqa: E731
+        new_p = jax.tree.map(lambda t: t[0], out, is_leaf=is4)
+        new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=is4)
+        new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=is4)
+        new_e = jax.tree.map(lambda t: t[3], out, is_leaf=is4)
+        return new_p, FusedAdamWEmaState(count_inc, new_mu, new_nu), new_e
+
+    def update(self, grads, state: FusedAdamWEmaState, params=None):
+        """optax-compatible (updates, state) — same math, EMA not touched.
+        Kept so generic callers (and the parity test) can drive this like a
+        GradientTransformation; the Trainer uses update_with_ema."""
+        count_inc, c1, c2, lr, clip = self._prep(grads, state.count)
+        b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
+
+        def leaf(g, p, mu, nu, decay_p):
+            if clip is not None:
+                g = clip(g)
+            mu_f = (1 - b1) * g + b1 * mu
+            nu_f = (1 - b2) * (g ** 2) + b2 * nu
+            u = (mu_f / c1.astype(mu_f.dtype)) / (
+                jnp.sqrt(nu_f / c2.astype(nu_f.dtype)) + eps)
+            if decay_p:
+                u = u + wd * p
+            mu_new = (mu_f.astype(self.mu_dtype)
+                      if self.mu_dtype is not None else mu_f)
+            return (-lr) * u, mu_new, nu_f
+
+        out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
+                           self._mask_tree(params))
+        is3 = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa: E731
+        updates = jax.tree.map(lambda t: t[0], out, is_leaf=is3)
+        new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=is3)
+        new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=is3)
+        return updates, FusedAdamWEmaState(count_inc, new_mu, new_nu)
+
+
 def make_optimizer(params, *, learning_rate: float = 1e-4,
                    betas: Tuple[float, float] = (0.9, 0.95),
                    transformer_weight_decay: float = 0.05,
@@ -74,12 +217,15 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                    final_lr_scale: float = 1e-6,
                    max_grad_norm: Optional[float] = None,
                    optimizer_type: str = "adamw",
-                   mu_dtype: Optional[Any] = None):
+                   mu_dtype: Optional[Any] = None,
+                   fused: bool = True):
     """AdamW (or ADOPT) + tri-stage LR, masked weight decay. Returns
-    (optax.GradientTransformation, schedule_fn). ``mu_dtype=jnp.bfloat16``
-    halves the first-moment memory (useful to fit flagship-scale training on
-    a single 16GB chip; the reference's DDP replicates fp32 state per GPU
-    the same way)."""
+    (optimizer, schedule_fn). ``mu_dtype=jnp.bfloat16`` halves the
+    first-moment memory (useful to fit flagship-scale training on a single
+    16GB chip; the reference's DDP replicates fp32 state per GPU the same
+    way). For adamw the default is the single-pass :class:`FusedAdamWEma`
+    (bit-identical numerics, ~2x faster update at flagship scale);
+    ``fused=False`` returns the plain optax chain."""
     if use_lr_scheduler:
         schedule = tri_stage_schedule(learning_rate, total_steps, phase_ratio,
                                       init_lr_scale, final_lr_scale)
@@ -88,6 +234,11 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
 
     mask = _decay_mask(params)
     if optimizer_type == "adamw":
+        if fused:
+            return FusedAdamWEma(
+                schedule, b1=betas[0], b2=betas[1],
+                weight_decay=transformer_weight_decay, mask=mask,
+                mu_dtype=mu_dtype, max_grad_norm=max_grad_norm), schedule
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1],
                           weight_decay=transformer_weight_decay, mask=mask,
                           mu_dtype=mu_dtype)

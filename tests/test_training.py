@@ -108,6 +108,96 @@ def test_weight_decay_mask():
     assert mask["static_resnet"]["conv"]["kernel"] is True
 
 
+@pytest.mark.parametrize("mu_dtype", [None, jnp.bfloat16])
+@pytest.mark.parametrize("max_grad_norm", [None, 0.5])
+def test_fused_adamw_matches_optax(mu_dtype, max_grad_norm):
+    """FusedAdamWEma.update_with_ema must be BIT-identical to the unfused
+    optax chain (adamw + apply_updates + ema_update) it replaces — including
+    the bf16 mu_dtype promotion order and global-norm clipping."""
+    import optax
+
+    from mode_diffusion_policy_tpu.training.optim import _decay_mask
+
+    rng = np.random.default_rng(0)
+    params = {
+        "inner_model": {"blocks_0": {"wqkv": {
+            "kernel": jnp.asarray(rng.standard_normal((8, 12)), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(12), jnp.float32)}}},
+        "static_resnet": {"conv": {
+            "kernel": jnp.asarray(rng.standard_normal((3, 3, 2, 4)),
+                                  jnp.float32)}},
+    }
+    kw = dict(learning_rate=3e-3, betas=(0.9, 0.95),
+              transformer_weight_decay=0.05, use_lr_scheduler=True,
+              total_steps=100, max_grad_norm=max_grad_norm,
+              mu_dtype=mu_dtype)
+    fused_opt, _ = make_optimizer(params, fused=True, **kw)
+    ref_opt, schedule = make_optimizer(params, fused=False, **kw)
+    assert hasattr(fused_opt, "update_with_ema")
+    assert not hasattr(ref_opt, "update_with_ema")
+
+    # jit both steps — the realistic boundary (train steps are always
+    # jitted), and the one where bit-equality holds: optax's
+    # tree_bias_correction is internally inline-jitted, and XLA's pow
+    # lowering differs by 1 ulp between eager and compiled at some counts
+    @jax.jit
+    def step_f(grads, st, p, e, decay):
+        return fused_opt.update_with_ema(grads, st, p, e, decay)
+
+    @jax.jit
+    def step_r(grads, st, p, e, decay):
+        upd, st2 = ref_opt.update(grads, st, p)
+        p2 = optax.apply_updates(p, upd)
+        return p2, st2, ema_update(e, p2, decay)
+
+    f_state, r_state = fused_opt.init(params), ref_opt.init(params)
+    f_params = r_params = params
+    f_ema = r_ema = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.standard_normal(x.shape) * (3.0 if step % 2 else 0.01),
+                jnp.float32), params)
+        decay = ema_decay_schedule(jnp.asarray(step))
+        f_params, f_state, f_ema = step_f(grads, f_state, f_params, f_ema,
+                                          decay)
+        r_params, r_state, r_ema = step_r(grads, r_state, r_params, r_ema,
+                                          decay)
+        for fa, ra in zip(jax.tree.leaves(f_params),
+                          jax.tree.leaves(r_params)):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(ra))
+        for fa, ra in zip(jax.tree.leaves(f_ema), jax.tree.leaves(r_ema)):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(ra))
+    # moments match the optax state too (find mu/nu inside the chain state)
+    adam = [s for s in jax.tree.leaves(
+        r_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(x := s, "mu")][0]
+    for fa, ra in zip(jax.tree.leaves(f_state.mu), jax.tree.leaves(adam.mu)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(ra))
+    for fa, ra in zip(jax.tree.leaves(f_state.nu), jax.tree.leaves(adam.nu)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(ra))
+    # the decay mask actually matters in both (bias had no decay)
+    mask = _decay_mask(params)
+    assert mask["inner_model"]["blocks_0"]["wqkv"]["bias"] is False
+
+
+def test_fused_adamw_update_method_matches_update_with_ema():
+    """The optax-compatible .update fallback applies the same math."""
+    import optax
+
+    params = {"w": jnp.asarray(np.random.default_rng(1)
+                               .standard_normal((16,)), jnp.float32)}
+    opt, _ = make_optimizer(params, fused=True, use_lr_scheduler=False)
+    st = opt.init(params)
+    grads = {"w": jnp.full((16,), 0.3)}
+    p1, st1, _ = opt.update_with_ema(grads, st, params, params, 0.99)
+    upd, st2 = opt.update(grads, st, params)
+    p2 = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.asarray(p2["w"]))
+    np.testing.assert_array_equal(np.asarray(st1.nu["w"]),
+                                  np.asarray(st2.nu["w"]))
+
+
 def test_adopt_runs():
     import optax
     opt = optax.chain(adopt(), optax.scale(-0.01))
