@@ -133,9 +133,13 @@ def main():
             rg = preprocess_camera(None, rgb_gripper, size=IMG, train=False)
             emb, _ = ag.embed_visual_obs(variables, rs, rg, lang_emb,
                                          train=False)
+            # BENCH_UNROLL=10 fully unrolls the DDIM scan: per-step routing/
+            # sigma/scaling gathers become static slices XLA folds away
             return ag.denoise_actions(variables, emb, lang_emb, key,
                                       inference=True,
-                                      use_routing_precompute=True)
+                                      use_routing_precompute=True,
+                                      extra_args={"unroll": int(os.environ.get(
+                                          "BENCH_UNROLL", "1"))})
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def repeat_n(variables, rgb_static, rgb_gripper, lang_emb, key, n):

@@ -13,7 +13,6 @@ moment + bf16 EMA storage. On a multi-chip mesh, prefer ZeRO-1 sharding
 """
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -54,14 +53,22 @@ def main():
                           # 2x MoE-FLOP saving when MoE is a minor share of
                           # the step); off by default, see docs/PERF.md
                           use_grouped_moe=os.environ.get(
-                              "BENCH_TRAIN_GROUPED", "0") == "1")
+                              "BENCH_TRAIN_GROUPED", "0") == "1",
+                          # BENCH_REMAT=0 skips the encoder jax.checkpoint
+                          # (≈6.6 ms/step of recompute) when HBM allows
+                          encoder_remat=os.environ.get(
+                              "BENCH_REMAT", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     variables = agent.init_variables(jax.random.PRNGKey(0),
                                      image_hw=(IMG, IMG))
     log(f"init {time.time()-t0:.0f}s")
-    optimizer, _ = make_optimizer(variables["params"],
-                                  mu_dtype=jnp.bfloat16)
+    optimizer, _ = make_optimizer(
+        variables["params"], mu_dtype=jnp.bfloat16,
+        # BENCH_NU_BF16=1: bf16 second moment — 4 B/param less optimizer
+        # traffic, NOT optax-bit-compatible (docs/PERF.md "train step")
+        nu_dtype=jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") == "1"
+        else None)
     state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
                               ema_dtype=jnp.bfloat16)
     step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
@@ -72,8 +79,7 @@ def main():
     acts = jnp.asarray(rng.standard_normal((B, 10, 7)).astype(np.float32) * .3)
     lang = jnp.asarray(rng.standard_normal((B, 1, 512)).astype(np.float32))
 
-    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-    def train_n(state, n):
+    def train_n_impl(state, n):
         def body(st, i):
             key = jax.random.fold_in(jax.random.PRNGKey(7), i)
             batch = {
@@ -87,7 +93,22 @@ def main():
             return st, metrics["train/total_loss"]
         return jax.lax.scan(body, state, jnp.arange(n))
 
-    state = jax.device_put(state)
+    if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
+        # Let XLA choose entry layouts (kills the per-step expert-weight
+        # transpose copies — docs/PERF.md "train step"). Compile one variant
+        # per scan length used below; each call re-lays state as needed.
+        from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
+        fn_by_n = {}
+
+        def train_n(st, n):
+            if n not in fn_by_n:
+                fn_by_n[n], st = jit_auto_layout(
+                    train_n_impl, st, static_argnums=(1,), example_args=(n,))
+            return fn_by_n[n](st, n)
+    else:
+        train_n = jax.jit(train_n_impl, static_argnums=(1,),
+                          donate_argnums=(0,))
+        state = jax.device_put(state)
 
     if int(os.environ.get("BENCH_TRAIN_CONVERGE", "0")):
         # Convergence smoke (VERDICT r1 #10): optimize the flagship stack for

@@ -1,0 +1,214 @@
+"""Device-trace profile of the flagship train step (jax.profiler + analysis).
+
+The stage-differencing profiler (bench_train_profile.py) measures nested
+subsets of the step, but XLA optimizes each subset differently (e.g. a
+grad-only program skips remat and schedules reductions elsewhere), so the
+stage deltas do not add up — the round-3 differencing run attributed 64 ms
+to "optimizer" when the device trace shows 28.7 ms. This tool instead
+captures a jax.profiler device trace of the REAL step (scanned N times in
+one jit, state donated) and reports wall-accurate per-category timings via
+interval-union math (trace spans nest/overlap; naive duration sums
+overcount ~2x).
+
+Output (b=32 flagship, round 3): per-step wall and a table like
+    optimizer+EMA fused update   28.7 ms   518 leaf fusions, ~88% HBM roofline
+    model fwd+bwd fusions        27.7 ms
+    BN/FiLM grad reductions      10.7 ms   convert+reduce over [B,H,W]
+    layout-transpose copies      13.6 ms   expert w1/w2 {2,1,0}<->{1,2,0}
+    remat recompute               6.6 ms
+
+Run: python bench_train_trace.py   [BENCH_TRAIN_BATCH=32 TRACE_DIR=/tmp/tt]
+Env: BENCH_AUTO_LAYOUT=1 lets XLA pick entry layouts (kills the transpose
+copies — see docs/PERF.md "train step"); BENCH_NU_BF16=1 bf16 second moment.
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import time
+
+os.makedirs(os.path.expanduser("~/.cache/jax_mode_tpu"), exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_mode_tpu"))
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# trace analysis
+# ---------------------------------------------------------------------------
+
+def _union_us(intervals):
+    total, cur_s, cur_e = 0.0, None, None
+    for s, e in sorted(intervals):
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s <= cur_e:
+            cur_e = max(cur_e, e)
+        else:
+            total += cur_e - cur_s
+            cur_s, cur_e = s, e
+    if cur_s is not None:
+        total += cur_e - cur_s
+    return total
+
+
+_CATEGORIES = (
+    ("optimizer+EMA fused update", r"^subtract_convert_fusion"),
+    ("grad reductions (convert_reduce)", r"^convert_reduce_fusion"),
+    ("remat recompute", r"remat"),
+    ("layout/carry copies", r"^(copy|slice-done|bitcast)"),
+    ("dynamic-update-slice", r"dynamic-update-slice"),
+    ("model fwd/bwd fusions", r"^(fusion|convolution|loop_|add_|multiply_"
+                              r"|divide_|broadcast_|negate_|constant_"
+                              r"|select|reduce|transpose|dot|rsqrt|top_k)"),
+)
+
+
+def analyze(trace_dir: str, n_steps: int):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        log(f"no trace file under {trace_dir}")
+        return
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
+    pid = None
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")):
+            pid = e["pid"]
+    ops = [e for e in data["traceEvents"]
+           if e.get("ph") == "X" and e.get("pid") == pid
+           and e.get("name") not in (None, "")
+           and not e["name"].startswith(("jit_", "while"))]
+    if not ops:
+        log("no device op events (CPU backend traces lack an XLA Ops lane)")
+        return
+    wall = _union_us([(e["ts"], e["ts"] + e["dur"]) for e in ops])
+    print(f"per-step device wall: {wall / n_steps / 1e3:.2f} ms "
+          f"(N={n_steps} steps traced)")
+    seen = set()
+    rows = []
+    for label, pat in _CATEGORIES:
+        rx = re.compile(pat)
+        sel = [e for e in ops
+               if rx.search(e["name"]) and id(e) not in seen]
+        for e in sel:
+            seen.add(id(e))
+        t = _union_us([(e["ts"], e["ts"] + e["dur"]) for e in sel])
+        rows.append((label, t / n_steps / 1e3, len(sel) // n_steps))
+    other = [e for e in ops if id(e) not in seen]
+    rows.append(("other", _union_us(
+        [(e["ts"], e["ts"] + e["dur"]) for e in other]) / n_steps / 1e3,
+        len(other) // n_steps))
+    for label, ms, n in sorted(rows, key=lambda r: -r[1]):
+        print(f"  {ms:7.2f} ms/step  n/step={n:6d}  {label}")
+    # biggest individual copies — the layout-transpose fingerprints
+    cops = {}
+    for e in ops:
+        if e["name"].startswith("copy") and e.get("args", {}).get("long_name"):
+            m = re.match(r"%\S+ = (\S+?)\{", e["args"]["long_name"])
+            if m:
+                k = m.group(1)
+                t, n = cops.get(k, (0.0, 0))
+                cops[k] = (t + e["dur"], n + 1)
+    top = sorted(cops.items(), key=lambda kv: -kv[1][0])[:6]
+    if top:
+        print("top copy shapes:")
+        for shape, (t, n) in top:
+            print(f"  {t / n_steps / 1e3:7.3f} ms/step  "
+                  f"n/step={n // n_steps:4d}  {shape}")
+
+
+# ---------------------------------------------------------------------------
+# capture
+# ---------------------------------------------------------------------------
+
+def main():
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    from mode_diffusion_policy_tpu.ops.image import preprocess_camera
+    from mode_diffusion_policy_tpu.training.loop import make_train_step
+    from mode_diffusion_policy_tpu.training.optim import make_optimizer
+    from mode_diffusion_policy_tpu.training.state import TrainState
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+    IMG = int(os.environ.get("BENCH_IMG", "224"))
+    N = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
+    trace_dir = os.environ.get("TRACE_DIR", "/tmp/train_trace")
+
+    cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
+                          cond_dim=512, resnet_type="50", num_experts=4,
+                          top_k=2, entropy_gamma=0.01, router_z_delta=0.001,
+                          dtype=jnp.bfloat16)
+    agent = MoDEAgent(cfg)
+    t0 = time.time()
+    variables = agent.init_variables(jax.random.PRNGKey(0),
+                                     image_hw=(IMG, IMG))
+    log(f"init {time.time() - t0:.0f}s")
+    optimizer, _ = make_optimizer(
+        variables["params"], mu_dtype=jnp.bfloat16,
+        nu_dtype=jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") == "1"
+        else None)
+    state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
+                              ema_dtype=jnp.bfloat16)
+    step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
+
+    rng = np.random.default_rng(0)
+    ru8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    gu8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
+    acts = jnp.asarray(
+        rng.standard_normal((B, 10, 7)).astype(np.float32) * .3)
+    lang = jnp.asarray(rng.standard_normal((B, 1, 512)).astype(np.float32))
+
+    def train_n(st, n):
+        def body(st, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            batch = {
+                "rgb_static": preprocess_camera(key, ru8, size=IMG,
+                                                shift_pad=10, train=True),
+                "rgb_gripper": preprocess_camera(key, gu8, size=IMG,
+                                                 shift_pad=4, train=True),
+                "actions": acts, "lang_emb": lang,
+            }
+            st, metrics = step_fn(st, batch)
+            return st, metrics["train/total_loss"]
+        return jax.lax.scan(body, st, jnp.arange(n))
+
+    if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
+        from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
+        fn, state = jit_auto_layout(train_n, state, static_argnums=(1,),
+                                    example_args=(N,))
+    else:
+        fn = jax.jit(train_n, static_argnums=(1,), donate_argnums=(0,))
+        state = jax.device_put(state)
+
+    t0 = time.time()
+    state, l = fn(state, N)
+    jax.block_until_ready(l)
+    log(f"warm n={N} {time.time() - t0:.0f}s loss={np.asarray(l)[:2]}")
+    with jax.profiler.trace(trace_dir):
+        state, l = fn(state, N)
+        np.asarray(l)
+    log(f"traced n={N} -> {trace_dir}")
+    analyze(trace_dir, N)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "analyze":
+        analyze(sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_trace",
+                int(sys.argv[3]) if len(sys.argv) > 3 else 4)
+    else:
+        main()

@@ -192,6 +192,23 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
         "init_lr_scale": _num(lrs.get("init_lr_scale", 0.1), 0.1),
         "final_lr_scale": _num(lrs.get("final_lr_scale", 1e-6), 1e-6),
     }
+
+    def _moment_dtype(key):
+        # TPU memory/traffic knobs with no torch analog: optimizer.mu_dtype /
+        # optimizer.nu_dtype = "bfloat16" store the Adam moments in bf16
+        # (mu is optax-bit-compatible; nu is NOT — docs/PERF.md "train step")
+        v = opt.get(key)
+        if v in (None, "", "float32", "fp32"):
+            return None
+        if str(v) in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        raise ValueError(f"optimizer.{key} must be float32 or bfloat16, "
+                         f"got {v!r}")
+
+    for key in ("mu_dtype", "nu_dtype"):
+        dt = _moment_dtype(key)
+        if dt is not None:
+            optimizer_kwargs[key] = dt
     lang_cfg = model_cfg.get("language_goal", {})
     return agent, optimizer_kwargs, lang_cfg
 

@@ -283,9 +283,14 @@ def sample_lms(denoiser, x, sigmas, key=None, *, order=4, **_):
     return x
 
 
-def sample_ddim(denoiser, x, sigmas, key=None, **_):
+def sample_ddim(denoiser, x, sigmas, key=None, unroll: int = 1, **_):
     """DDIM / DPM-Solver-1 (gc_sampling.py:922-951), the MoDE default.
-    Update in ratio form: x <- (s_next/s) x + (1 - s_next/s) denoised."""
+    Update in ratio form: x <- (s_next/s) x + (1 - s_next/s) denoised.
+
+    ``unroll``: lax.scan unroll factor (pass via sample_loop extra_args).
+    Full unroll makes the per-step gathers (sigma embeds, routing tables,
+    EDM scalings) static slices XLA folds away — see docs/PERF.md
+    "sampler glue". Compile time grows with the factor."""
     sigmas = np.asarray(sigmas)
     n = len(sigmas) - 1
     ratios = (sigmas[1:] / sigmas[:-1]).astype(np.float32)
@@ -297,7 +302,7 @@ def sample_ddim(denoiser, x, sigmas, key=None, **_):
         return x, None
 
     xs = (jnp.arange(n), jnp.asarray(sigmas[:-1]), jnp.asarray(ratios))
-    x, _ = jax.lax.scan(step, x, xs)
+    x, _ = jax.lax.scan(step, x, xs, unroll=min(unroll, n))
     return x
 
 

@@ -99,6 +99,95 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
+                    donate: bool = True, state_sharding=None,
+                    rest_shardings=None):
+    """Compile ``fn(state, *example_args)`` letting XLA choose the ENTRY
+    layouts for every array (``Layout.AUTO``), and re-lay ``state`` out to
+    match.
+
+    Why: the default jit pins arguments to row-major layouts, and the
+    flagship train step then spends ~13 ms/step transposing the stacked
+    expert weights ``[E, D, F] {2,1,0} <-> {1,2,0}`` between the layout the
+    forward einsum wants and the one the backward dot prefers (see
+    docs/PERF.md "train step"). With AUTO entry layouts XLA materializes the
+    parameters once in its preferred layout and the per-step copies vanish.
+    Orbax checkpointing is unaffected: restore produces row-major arrays and
+    the returned state has simply been ``device_put`` through the chosen
+    formats.
+
+    Returns ``(compiled_fn, state_in_chosen_layout)``. The compiled fn is
+    specialized to ``example_args`` for the static argnums.
+
+    ``state_sharding`` (optional NamedSharding) pins the state's mesh
+    sharding while leaving its layout AUTO; ``rest_shardings`` (optional
+    tuple, one entry per non-state dynamic arg) pins the remaining args to
+    concrete shardings/default layouts — used by :class:`Trainer` so host
+    batches keep arriving through the normal ``shard_batch`` path.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = Format(Layout.AUTO) if state_sharding is None \
+        else Format(Layout.AUTO, state_sharding)
+    in_sh = auto if rest_shardings is None else (auto, *rest_shardings)
+    jf = jax.jit(fn, static_argnums=static_argnums,
+                 donate_argnums=(0,) if donate else (),
+                 in_shardings=in_sh, out_shardings=Format(Layout.AUTO))
+    # AUTO-layout args must be lowered as abstract shapes: a committed
+    # jax.Array carries a concrete layout, which jit rejects against AUTO
+    state_shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if isinstance(x, jax.Array) else x, state)
+    compiled = jf.lower(state_shapes, *example_args).compile()
+    state_formats = compiled.input_formats[0][0]
+    state = jax.tree.map(jax.device_put, state, state_formats)
+    static = set(static_argnums)
+
+    def call(st, *args):
+        # AOT-compiled fns take only the dynamic args; keep the jit-style
+        # signature so call sites can toggle AUTO without changing shape.
+        # Re-lay the state to this program's chosen formats first: device_put
+        # is a no-op view when the layout already matches, and it lets two
+        # variants compiled for different static args chain state even if
+        # their chosen layouts disagree.
+        st = jax.tree.map(jax.device_put, st, state_formats)
+        dyn = [a for i, a in enumerate(args, start=1) if i not in static]
+        return compiled(st, *dyn)
+
+    return call, state
+
+
+def relayout_default(tree):
+    """Re-lay every array in ``tree`` back to the default (row-major) device
+    layout.
+
+    Needed after training through :func:`jit_auto_layout`: arrays in an
+    XLA-chosen layout flow fine through *jitted* programs, but EAGER ops on
+    them fail on the axon backend (INVALID_ARGUMENT), so call this before
+    handing e.g. ``state.ema_params`` to un-jitted eval/export code."""
+    from jax.experimental.layout import Format, Layout
+
+    def relay(x):
+        if not isinstance(x, jax.Array):
+            return x
+        default = tuple(range(x.ndim))
+        fmt = getattr(x, "format", None)
+        if fmt is None or fmt.layout is None \
+                or fmt.layout.major_to_minor == default:
+            return x
+        try:
+            return jax.device_put(x, Format(Layout(major_to_minor=default),
+                                            fmt.sharding))
+        except Exception:
+            # some backend/format combinations reject an on-device relayout
+            # (axon raises INVALID_ARGUMENT for certain tiled layouts);
+            # round-trip through the host, which always yields the default
+            import numpy as np
+            return jax.device_put(np.asarray(x), fmt.sharding)
+
+    return jax.tree.map(relay, tree)
+
+
 class MetricLogger:
     """wandb if available and configured, else JSONL + stdout."""
 
@@ -221,7 +310,8 @@ class Trainer:
                  use_wandb: bool = False, mesh=None,
                  rollout_callback: Optional[Callable] = None,
                  preprocess_fn: Optional[Callable] = None,
-                 monitor: str = "eval_lh/avg_seq_len"):
+                 monitor: str = "eval_lh/avg_seq_len",
+                 auto_layout: bool = False):
         self.agent = agent
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
@@ -237,8 +327,16 @@ class Trainer:
         self.preprocess_fn = preprocess_fn
         self.optimizer_kwargs = optimizer_kwargs or {}
         self.ema_kwargs = ema_kwargs or {}
+        # trainer.auto_layout: let XLA choose the parameter/optimizer-state
+        # layouts for the train step (kills the per-step expert-weight
+        # transpose copies, docs/PERF.md "train step"). Compiled lazily on
+        # the first batch; checkpoints are unaffected (orbax round-trips
+        # through host row-major arrays).
+        self.auto_layout = auto_layout
         self._optimizer = None
         self._train_step = None
+        self._step_fn = None
+        self._batch_shardings = None
         self.resumed = False
 
     def setup(self, rng=None, image_hw=(224, 224)) -> TrainState:
@@ -254,13 +352,20 @@ class Trainer:
                                   preprocess_fn=self.preprocess_fn)
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
-        self._train_step = jax.jit(
-            step_fn,
-            in_shardings=(rep, jax.tree.map(lambda _: bsh, {
-                "rgb_static": 0, "rgb_gripper": 0, "actions": 0,
-                "lang_emb": 0})),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,))
+        self._batch_shardings = jax.tree.map(lambda _: bsh, {
+            "rgb_static": 0, "rgb_gripper": 0, "actions": 0,
+            "lang_emb": 0})
+        if self.auto_layout:
+            # defer to the first fit() batch: AUTO-layout AOT compilation
+            # needs concrete batch shapes (jit_auto_layout docstring)
+            self._step_fn = step_fn
+            self._train_step = None
+        else:
+            self._train_step = jax.jit(
+                step_fn,
+                in_shardings=(rep, self._batch_shardings),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,))
 
         # validation denoise compiled ONCE and reused across epochs (the
         # round-1 un-jitted path retraced the 10-step sampler every epoch)
@@ -305,6 +410,11 @@ class Trainer:
                 if n >= self.limit_train_batches:
                     break
                 batch = shard_batch(self.mesh, batch)
+                if self._train_step is None:  # auto_layout lazy compile
+                    self._train_step, state = jit_auto_layout(
+                        self._step_fn, state, example_args=(batch,),
+                        state_sharding=replicated(self.mesh),
+                        rest_shardings=(self._batch_shardings,))
                 state, metrics = self._train_step(state, batch)
                 n += 1
                 if "expert_counts" in metrics:
@@ -353,4 +463,9 @@ class Trainer:
             self.ckpt.save(int(state.step), jax.device_get(state),
                            epoch_metrics)
             logger.info("epoch %d done in %.1fs: %s", epoch, dt, epoch_metrics)
+        if self.auto_layout:
+            # hand back default-layout arrays: downstream export/eval code
+            # may run eager ops, which reject XLA-chosen tiled layouts on
+            # some backends (see relayout_default)
+            state = relayout_default(state)
         return state

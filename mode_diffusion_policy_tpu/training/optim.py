@@ -103,19 +103,29 @@ class FusedAdamWEma:
     def __init__(self, schedule, *, b1: float = 0.9, b2: float = 0.95,
                  eps: float = 1e-8, weight_decay: float = 0.05,
                  mask: Any = None, mu_dtype: Optional[Any] = None,
+                 nu_dtype: Optional[Any] = None,
                  max_grad_norm: Optional[float] = None):
         self.schedule = schedule
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
         self.mask = mask  # pytree of static Python bools (or None = decay all)
         self.mu_dtype = mu_dtype
+        # nu_dtype=bf16 is an OPT-IN traffic saver (-4 B/param of the
+        # 28 B/param update pass, measured ~-3 ms/step at flagship scale):
+        # unlike mu_dtype it has no optax equivalent and is NOT
+        # bit-compatible with optax.adamw — the second moment loses 16
+        # mantissa bits, perturbing the effective per-parameter LR by up to
+        # ~0.2%. Gate on the convergence smoke before adopting for a run.
+        self.nu_dtype = nu_dtype
         self.max_grad_norm = max_grad_norm
 
     def init(self, params):
         mu = jax.tree.map(
             lambda p: jnp.zeros_like(p, dtype=self.mu_dtype or p.dtype),
             params)
-        nu = jax.tree.map(jnp.zeros_like, params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=self.nu_dtype or p.dtype),
+            params)
         return FusedAdamWEmaState(count=jnp.zeros([], jnp.int32), mu=mu,
                                   nu=nu)
 
@@ -140,7 +150,7 @@ class FusedAdamWEma:
 
     def _leaf(self, c1, c2, lr, clip, ema_decay):
         b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
-        mu_dtype = self.mu_dtype
+        mu_dtype, nu_dtype = self.mu_dtype, self.nu_dtype
 
         def leaf(g, p, mu, nu, e, decay_p):
             if clip is not None:
@@ -156,11 +166,12 @@ class FusedAdamWEma:
             u = (-lr) * u
             p_new = jnp.asarray(p + u).astype(p.dtype)
             mu_new = mu_f.astype(mu_dtype) if mu_dtype is not None else mu_f
+            nu_new = nu_f.astype(nu_dtype) if nu_dtype is not None else nu_f
             if e is None:
-                return p_new, mu_new, nu_f, None
+                return p_new, mu_new, nu_new, None
             e_new = (e - (1.0 - ema_decay) * (e - p_new.astype(e.dtype))
                      ).astype(e.dtype)
-            return p_new, mu_new, nu_f, e_new
+            return p_new, mu_new, nu_new, e_new
 
         return leaf
 
@@ -196,7 +207,9 @@ class FusedAdamWEma:
                 u = u + wd * p
             mu_new = (mu_f.astype(self.mu_dtype)
                       if self.mu_dtype is not None else mu_f)
-            return (-lr) * u, mu_new, nu_f
+            nu_new = (nu_f.astype(self.nu_dtype)
+                      if self.nu_dtype is not None else nu_f)
+            return (-lr) * u, mu_new, nu_new
 
         out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
                            self._mask_tree(params))
@@ -218,6 +231,7 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                    max_grad_norm: Optional[float] = None,
                    optimizer_type: str = "adamw",
                    mu_dtype: Optional[Any] = None,
+                   nu_dtype: Optional[Any] = None,
                    fused: bool = True):
     """AdamW (or ADOPT) + tri-stage LR, masked weight decay. Returns
     (optimizer, schedule_fn). ``mu_dtype=jnp.bfloat16`` halves the
@@ -233,12 +247,15 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
         schedule = optax.constant_schedule(learning_rate)
 
     mask = _decay_mask(params)
+    if nu_dtype is not None and not (optimizer_type == "adamw" and fused):
+        raise ValueError("nu_dtype requires the fused AdamW path")
     if optimizer_type == "adamw":
         if fused:
             return FusedAdamWEma(
                 schedule, b1=betas[0], b2=betas[1],
                 weight_decay=transformer_weight_decay, mask=mask,
-                mu_dtype=mu_dtype, max_grad_norm=max_grad_norm), schedule
+                mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                max_grad_norm=max_grad_norm), schedule
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1],
                           weight_decay=transformer_weight_decay, mask=mask,
                           mu_dtype=mu_dtype)

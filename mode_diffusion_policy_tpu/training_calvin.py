@@ -77,7 +77,9 @@ def train(cfg: dict):
             **callbacks_cfg.get("checkpoint", {})),
         use_wandb=bool(cfg.get("logger", {}).get("use_wandb", False)),
         rollout_callback=rollout_callback,
-        preprocess_fn=make_train_preprocess(pipelines))
+        preprocess_fn=make_train_preprocess(pipelines),
+        auto_layout=str(trainer_cfg.get("auto_layout",
+                                        "false")).lower() == "true")
 
     # persist the resolved config into the run dir (reference .hydra layout)
     # so eval CLIs can rebuild the model shape without re-typed flags

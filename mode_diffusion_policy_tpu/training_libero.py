@@ -75,7 +75,9 @@ def train(cfg: dict):
         preprocess_fn=make_train_preprocess(pipelines),
         rollout_callback=rollout_callback,
         monitor=callbacks_cfg.get("checkpoint", {}).get(
-            "monitor", "eval/avg_success_rate"))
+            "monitor", "eval/avg_success_rate"),
+        auto_layout=str(trainer_cfg.get("auto_layout",
+                                        "false")).lower() == "true")
 
     from .training_common import persist_resolved_config
     persist_resolved_config(cfg, trainer.logger.log_dir)

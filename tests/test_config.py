@@ -69,6 +69,24 @@ def test_build_agent_from_reference_config():
     assert opt_kwargs["phase_ratio"] == (0.02, 0.08, 0.9)
     assert opt_kwargs["total_steps"] == 45000
     assert lang_cfg["model_name"] == "ViT-B/32"
+    # default moment dtypes are float32 (reference parity) -> key absent
+    assert "mu_dtype" not in opt_kwargs and "nu_dtype" not in opt_kwargs
+
+
+def test_build_agent_optimizer_moment_dtypes():
+    """optimizer.mu_dtype / nu_dtype = bfloat16 (the TPU traffic knobs) parse
+    into jnp dtypes; unknown values hard-error."""
+    import jax.numpy as jnp
+    from mode_diffusion_policy_tpu.config.builders import build_agent
+    cfg = load_config(CONF, "config_calvin",
+                      ["model.optimizer.mu_dtype=bfloat16",
+                       "model.optimizer.nu_dtype=bfloat16"])
+    _, opt_kwargs, _ = build_agent(cfg["model"])
+    assert opt_kwargs["mu_dtype"] == jnp.bfloat16
+    assert opt_kwargs["nu_dtype"] == jnp.bfloat16
+    with pytest.raises(ValueError):
+        build_agent(load_config(CONF, "config_calvin",
+                                ["model.optimizer.nu_dtype=fp8"])["model"])
 
 
 def test_build_datamodule_from_config(tmp_path):

@@ -190,3 +190,13 @@ def test_dpm_adaptive_runs():
     out = run_jax("dpm_adaptive", x, SCHEDULE)
     assert np.all(np.isfinite(out))
     assert np.abs(out).max() < 10.0
+
+
+def test_ddim_unroll_bit_exact():
+    """unroll=n is a scheduling hint only: the fully unrolled DDIM scan must
+    be bit-identical to the rolled one (it feeds the serving fast path,
+    docs/PERF.md "sampler glue")."""
+    x = make_x()
+    rolled = run_jax("ddim", x, SCHEDULE)
+    unrolled = run_jax("ddim", x, SCHEDULE, unroll=len(SCHEDULE))
+    np.testing.assert_array_equal(rolled, unrolled)
