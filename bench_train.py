@@ -63,14 +63,21 @@ def main():
     variables = agent.init_variables(jax.random.PRNGKey(0),
                                      image_hw=(IMG, IMG))
     log(f"init {time.time()-t0:.0f}s")
+    # BENCH_BF16_STATE=1: full-bf16 training state (params/moments/EMA) with
+    # stochastic-rounding parameter updates — 18 B/param on the update pass
+    # vs 28 with the f32 master copy (docs/PERF.md "train step")
+    bf16_state = os.environ.get("BENCH_BF16_STATE") == "1"
     optimizer, _ = make_optimizer(
         variables["params"], mu_dtype=jnp.bfloat16,
+        stochastic_round=bf16_state,
         # BENCH_NU_BF16=1: bf16 second moment — 4 B/param less optimizer
         # traffic, NOT optax-bit-compatible (docs/PERF.md "train step")
-        nu_dtype=jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") == "1"
-        else None)
+        nu_dtype=jnp.bfloat16 if bf16_state
+        or os.environ.get("BENCH_NU_BF16") == "1" else None)
     state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
-                              ema_dtype=jnp.bfloat16)
+                              ema_dtype=jnp.bfloat16,
+                              param_dtype=jnp.bfloat16 if bf16_state
+                              else None)
     step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
 
     rng = np.random.default_rng(0)

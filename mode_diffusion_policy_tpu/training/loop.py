@@ -78,9 +78,13 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
             # FusedAdamWEma: whole AdamW+apply+EMA update in one elementwise
             # pass per leaf (optim.py — ~2x the optax chain at flagship
             # scale, bit-identical numerics)
+            opt_kw = {}
+            if getattr(optimizer, "stochastic_round", False):
+                rng, sr_key = jax.random.split(rng)
+                opt_kw["key"] = sr_key
             params, opt_state, ema_params = optimizer.update_with_ema(
                 grads, state.opt_state, state.params, state.ema_params,
-                decay)
+                decay, **opt_kw)
         else:
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
@@ -311,7 +315,8 @@ class Trainer:
                  rollout_callback: Optional[Callable] = None,
                  preprocess_fn: Optional[Callable] = None,
                  monitor: str = "eval_lh/avg_seq_len",
-                 auto_layout: bool = False):
+                 auto_layout: bool = False,
+                 bf16_full_state: bool = False):
         self.agent = agent
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
@@ -333,6 +338,12 @@ class Trainer:
         # the first batch; checkpoints are unaffected (orbax round-trips
         # through host row-major arrays).
         self.auto_layout = auto_layout
+        # trainer.bf16_full_state: params/grads/Adam moments/EMA all stored
+        # bf16 (18 B/param on the HBM-bound update pass vs 28 with the f32
+        # master copy); parameter write-back uses stochastic rounding so
+        # sub-ulp updates accumulate in expectation (optim.py). Convergence-
+        # gated opt-in, like the reference has no analog for.
+        self.bf16_full_state = bf16_full_state
         self._optimizer = None
         self._train_step = None
         self._step_fn = None
@@ -343,9 +354,16 @@ class Trainer:
         rng = rng if rng is not None else jax.random.PRNGKey(self.agent.cfg.seed)
         k_init, k_state = jax.random.split(rng)
         variables = self.agent.init_variables(k_init, image_hw=image_hw)
+        opt_kwargs = dict(self.optimizer_kwargs)
+        state_dtypes = {}
+        if self.bf16_full_state:
+            opt_kwargs.setdefault("stochastic_round", True)
+            state_dtypes = dict(param_dtype=jnp.bfloat16,
+                                ema_dtype=jnp.bfloat16)
         self._optimizer, self._schedule = make_optimizer(
-            variables["params"], **self.optimizer_kwargs)
-        state = TrainState.create(variables, self._optimizer, k_state)
+            variables["params"], **opt_kwargs)
+        state = TrainState.create(variables, self._optimizer, k_state,
+                                  **state_dtypes)
 
         step_fn = make_train_step(self.agent, self._optimizer,
                                   ema_kwargs=self.ema_kwargs,

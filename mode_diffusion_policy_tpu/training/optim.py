@@ -64,6 +64,27 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def stochastic_round_bf16(x32: jax.Array, key: jax.Array) -> jax.Array:
+    """Round f32 -> bf16 stochastically: each value rounds to one of its two
+    neighboring bf16 values with probability proportional to proximity, so
+    E[round(x)] = x and tiny updates (|u| below half a bf16 ulp of p, which
+    round-to-nearest would drop EVERY step) land with the right frequency.
+
+    The TPU recipe for training with bf16 parameter storage and no f32
+    master copy (-8 B/param of optimizer read+write traffic). Implemented as
+    the classic bit trick: add uniform 16-bit noise to the low mantissa bits
+    and truncate — carries propagate correctly through mantissa/exponent in
+    IEEE bit space, and sign-magnitude layout makes it unbiased for both
+    signs. inf/NaN pass through unperturbed.
+    """
+    x32 = x32.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = jnp.where(jnp.isfinite(x32), bits + rnd, bits)
+    return jax.lax.bitcast_convert_type(
+        rounded & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+
+
 class FusedAdamWEmaState(NamedTuple):
     count: jax.Array
     mu: Any
@@ -104,7 +125,8 @@ class FusedAdamWEma:
                  eps: float = 1e-8, weight_decay: float = 0.05,
                  mask: Any = None, mu_dtype: Optional[Any] = None,
                  nu_dtype: Optional[Any] = None,
-                 max_grad_norm: Optional[float] = None):
+                 max_grad_norm: Optional[float] = None,
+                 stochastic_round: bool = False):
         self.schedule = schedule
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
@@ -117,6 +139,16 @@ class FusedAdamWEma:
         # mantissa bits, perturbing the effective per-parameter LR by up to
         # ~0.2%. Gate on the convergence smoke before adopting for a run.
         self.nu_dtype = nu_dtype
+        # stochastic_round=True: bf16-parameter training with no f32 master
+        # copy (params/grads/moments/EMA all bf16 = 18 B/param vs the f32-
+        # master 28 B/param on the HBM-bound update pass). The update math
+        # runs in f32 and the parameter write-back uses
+        # :func:`stochastic_round_bf16`, so sub-ulp updates accumulate in
+        # expectation instead of being dropped by round-to-nearest. Requires
+        # passing ``key=`` to update_with_ema; convergence-tested at tiny
+        # scale (tests/test_training.py) — gate on the flagship convergence
+        # smoke before adopting for a run (docs/PERF.md "train step").
+        self.stochastic_round = stochastic_round
         self.max_grad_norm = max_grad_norm
 
     def init(self, params):
@@ -151,22 +183,39 @@ class FusedAdamWEma:
     def _leaf(self, c1, c2, lr, clip, ema_decay):
         b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
         mu_dtype, nu_dtype = self.mu_dtype, self.nu_dtype
+        sr = self.stochastic_round
 
-        def leaf(g, p, mu, nu, e, decay_p):
+        def leaf(g, p, mu, nu, e, decay_p, k=None):
             if clip is not None:
                 g = clip(g)
-            # optax tree_update_moment: b1*mu runs in mu's (maybe bf16)
-            # dtype; the (1-b1)*g term is f32 — keep that promotion order
-            mu_f = (1 - b1) * g + b1 * mu
-            nu_f = (1 - b2) * (g ** 2) + b2 * nu
+            if sr:
+                # bf16-storage mode: the whole update runs in f32 (the
+                # stored tensors may all be bf16) and the parameter
+                # write-back rounds stochastically
+                g32 = g.astype(jnp.float32)
+                p32 = p.astype(jnp.float32)
+                mu_f = (1 - b1) * g32 + b1 * mu.astype(jnp.float32)
+                nu_f = (1 - b2) * (g32 ** 2) + b2 * nu.astype(jnp.float32)
+            else:
+                # optax tree_update_moment: b1*mu runs in mu's (maybe bf16)
+                # dtype; the (1-b1)*g term is f32 — keep that promotion
+                # order for bit-compatibility
+                p32 = p
+                mu_f = (1 - b1) * g + b1 * mu
+                nu_f = (1 - b2) * (g ** 2) + b2 * nu
             u = (mu_f / c1.astype(mu_f.dtype)) / (
                 jnp.sqrt(nu_f / c2.astype(nu_f.dtype)) + eps)
             if decay_p:
-                u = u + wd * p
+                u = u + wd * p32
             u = (-lr) * u
-            p_new = jnp.asarray(p + u).astype(p.dtype)
-            mu_new = mu_f.astype(mu_dtype) if mu_dtype is not None else mu_f
-            nu_new = nu_f.astype(nu_dtype) if nu_dtype is not None else nu_f
+            if sr and p.dtype == jnp.bfloat16:
+                p_new = stochastic_round_bf16(p32 + u, k)
+            else:
+                p_new = jnp.asarray(p32 + u).astype(p.dtype)
+            mu_new = mu_f.astype(mu_dtype) if mu_dtype is not None else \
+                mu_f.astype(mu.dtype)
+            nu_new = nu_f.astype(nu_dtype) if nu_dtype is not None else \
+                nu_f.astype(nu.dtype)
             if e is None:
                 return p_new, mu_new, nu_new, None
             e_new = (e - (1.0 - ema_decay) * (e - p_new.astype(e.dtype))
@@ -176,12 +225,24 @@ class FusedAdamWEma:
         return leaf
 
     def update_with_ema(self, grads, state: FusedAdamWEmaState, params,
-                        ema_params, ema_decay):
-        """The fused path: returns (new_params, new_state, new_ema)."""
+                        ema_params, ema_decay, *, key=None):
+        """The fused path: returns (new_params, new_state, new_ema).
+        ``key`` is required when ``stochastic_round`` is on (one fold per
+        parameter leaf seeds the rounding noise)."""
         count_inc, c1, c2, lr, clip = self._prep(grads, state.count)
         leaf = self._leaf(c1, c2, lr, clip, ema_decay)
-        out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
-                           ema_params, self._mask_tree(params))
+        if self.stochastic_round:
+            if key is None:
+                raise ValueError("stochastic_round=True requires passing "
+                                 "key= to update_with_ema")
+            flat, treedef = jax.tree.flatten(params)
+            keys = jax.tree.unflatten(
+                treedef, list(jax.random.split(key, len(flat))))
+            out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
+                               ema_params, self._mask_tree(params), keys)
+        else:
+            out = jax.tree.map(leaf, grads, params, state.mu, state.nu,
+                               ema_params, self._mask_tree(params))
         is4 = lambda x: isinstance(x, tuple) and len(x) == 4  # noqa: E731
         new_p = jax.tree.map(lambda t: t[0], out, is_leaf=is4)
         new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=is4)
@@ -193,6 +254,9 @@ class FusedAdamWEma:
         """optax-compatible (updates, state) — same math, EMA not touched.
         Kept so generic callers (and the parity test) can drive this like a
         GradientTransformation; the Trainer uses update_with_ema."""
+        if self.stochastic_round:
+            raise ValueError("stochastic_round needs the fused write-back; "
+                             "use update_with_ema(key=...)")
         count_inc, c1, c2, lr, clip = self._prep(grads, state.count)
         b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
 
@@ -232,6 +296,7 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                    optimizer_type: str = "adamw",
                    mu_dtype: Optional[Any] = None,
                    nu_dtype: Optional[Any] = None,
+                   stochastic_round: bool = False,
                    fused: bool = True):
     """AdamW (or ADOPT) + tri-stage LR, masked weight decay. Returns
     (optimizer, schedule_fn). ``mu_dtype=jnp.bfloat16`` halves the
@@ -247,14 +312,19 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
         schedule = optax.constant_schedule(learning_rate)
 
     mask = _decay_mask(params)
-    if nu_dtype is not None and not (optimizer_type == "adamw" and fused):
-        raise ValueError("nu_dtype requires the fused AdamW path")
+    if not (optimizer_type == "adamw" and fused):
+        if nu_dtype is not None:
+            raise ValueError("nu_dtype requires the fused AdamW path")
+        if stochastic_round:
+            raise ValueError("stochastic_round requires the fused AdamW "
+                             "path")
     if optimizer_type == "adamw":
         if fused:
             return FusedAdamWEma(
                 schedule, b1=betas[0], b2=betas[1],
                 weight_decay=transformer_weight_decay, mask=mask,
                 mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                stochastic_round=stochastic_round,
                 max_grad_norm=max_grad_norm), schedule
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1],
                           weight_decay=transformer_weight_decay, mask=mask,

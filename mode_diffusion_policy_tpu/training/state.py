@@ -25,10 +25,16 @@ class TrainState:
         default_factory=lambda: jnp.zeros((), jnp.int32))
 
     @classmethod
-    def create(cls, variables, optimizer, rng, ema_dtype=None):
+    def create(cls, variables, optimizer, rng, ema_dtype=None,
+               param_dtype=None):
         """ema_dtype=jnp.bfloat16 halves EMA memory (EMA weights are only
-        used for bf16 eval anyway)."""
+        used for bf16 eval anyway). ``param_dtype=jnp.bfloat16`` stores the
+        parameters themselves in bf16 (no f32 master copy) — pair it with
+        the optimizer's ``stochastic_round=True`` so sub-ulp updates survive
+        the write-back (optim.stochastic_round_bf16)."""
         params = variables["params"]
+        if param_dtype is not None:
+            params = jax.tree.map(lambda x: x.astype(param_dtype), params)
         if ema_dtype is not None:
             ema = jax.tree.map(lambda x: x.astype(ema_dtype), params)
         else:

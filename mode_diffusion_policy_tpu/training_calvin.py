@@ -79,7 +79,9 @@ def train(cfg: dict):
         rollout_callback=rollout_callback,
         preprocess_fn=make_train_preprocess(pipelines),
         auto_layout=str(trainer_cfg.get("auto_layout",
-                                        "false")).lower() == "true")
+                                        "false")).lower() == "true",
+        bf16_full_state=str(trainer_cfg.get("bf16_full_state",
+                                            "false")).lower() == "true")
 
     # persist the resolved config into the run dir (reference .hydra layout)
     # so eval CLIs can rebuild the model shape without re-typed flags

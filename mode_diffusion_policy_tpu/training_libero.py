@@ -77,7 +77,9 @@ def train(cfg: dict):
         monitor=callbacks_cfg.get("checkpoint", {}).get(
             "monitor", "eval/avg_success_rate"),
         auto_layout=str(trainer_cfg.get("auto_layout",
-                                        "false")).lower() == "true")
+                                        "false")).lower() == "true",
+        bf16_full_state=str(trainer_cfg.get("bf16_full_state",
+                                            "false")).lower() == "true")
 
     from .training_common import persist_resolved_config
     persist_resolved_config(cfg, trainer.logger.log_dir)

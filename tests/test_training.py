@@ -209,6 +209,101 @@ def test_fused_adamw_nu_bf16_close_to_f32():
         make_optimizer(params, fused=False, nu_dtype=jnp.bfloat16, **kw)
 
 
+def test_stochastic_round_bf16_properties():
+    """stochastic_round_bf16 (the bf16-parameter write-back): unbiased in
+    expectation, exact on representable values, inf/NaN pass through."""
+    from mode_diffusion_policy_tpu.training.optim import stochastic_round_bf16
+
+    # representable values round exactly under every key
+    exact = jnp.asarray([0.0, 1.0, -2.5, 3.140625], jnp.float32)
+    for seed in range(3):
+        out = stochastic_round_bf16(exact, jax.random.PRNGKey(seed))
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(exact))
+    # a value strictly between two bf16 neighbors: mean over many draws
+    # approaches the value (round-to-nearest would give one neighbor always)
+    lo = np.float32(1.0)
+    hi = np.float32(np.nextafter(jnp.bfloat16(1.0), jnp.bfloat16(2.0),
+                                 dtype=jnp.bfloat16))
+    x = jnp.full((4096,), lo + 0.25 * (hi - lo), jnp.float32)
+    out = stochastic_round_bf16(x, jax.random.PRNGKey(7))
+    frac_hi = float(np.mean(np.asarray(out, np.float32) == hi))
+    assert abs(frac_hi - 0.25) < 0.05, frac_hi
+    # inf/NaN unperturbed
+    spec = jnp.asarray([np.inf, -np.inf, np.nan], jnp.float32)
+    out = np.asarray(stochastic_round_bf16(spec, jax.random.PRNGKey(0)),
+                     np.float32)
+    assert np.isposinf(out[0]) and np.isneginf(out[1]) and np.isnan(out[2])
+
+
+def test_stochastic_round_accumulates_sub_ulp_updates():
+    """Repeatedly adding an update far below half a bf16 ulp must still move
+    the parameter at the right average rate — the whole point of SR: with
+    round-to-nearest the parameter would never move."""
+    from mode_diffusion_policy_tpu.training.optim import stochastic_round_bf16
+
+    u = 1e-4  # bf16 ulp at 8.0 is 0.0625 — u is ~600x below half-ulp
+    n = 2000
+    x = jnp.full((256,), 8.0, jnp.bfloat16)
+    rtn = x
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def run(x, key):
+        def body(carry, _):
+            x, k = carry
+            k, sub = jax.random.split(k)
+            x = stochastic_round_bf16(x.astype(jnp.float32) + u, sub)
+            return (x, k), None
+        (x, _), _ = jax.lax.scan(body, (x, key), None, length=n)
+        return x
+
+    out = np.asarray(run(x, key), np.float32).mean()
+    assert abs(out - (8.0 + n * u)) < 0.02, out       # moved ~0.2 on average
+    rtn = np.asarray((rtn.astype(jnp.float32) + u).astype(jnp.bfloat16)
+                     .astype(jnp.float32)).mean()
+    assert rtn == 8.0  # round-to-nearest drops the update entirely
+
+
+def test_bf16_full_state_training_converges(tiny_setup):
+    """Full-bf16 training state (params/moments/EMA bf16, stochastic-rounded
+    updates — trainer.bf16_full_state): state dtypes are actually bf16, loss
+    decreases comparably to the f32-master run, and EMA stays finite."""
+    cfg, agent, variables = tiny_setup
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg))
+
+    def run(bf16_state):
+        opt_kw = dict(learning_rate=3e-3, use_lr_scheduler=False)
+        if bf16_state:
+            opt_kw.update(stochastic_round=True, mu_dtype=jnp.bfloat16,
+                          nu_dtype=jnp.bfloat16)
+        optimizer, _ = make_optimizer(variables["params"], **opt_kw)
+        state = TrainState.create(
+            variables, optimizer, jax.random.PRNGKey(1),
+            param_dtype=jnp.bfloat16 if bf16_state else None,
+            ema_dtype=jnp.bfloat16 if bf16_state else None)
+        step_fn = jax.jit(make_train_step(agent, optimizer,
+                                          log_grad_norms=False))
+        losses = []
+        for _ in range(30):
+            state, m = step_fn(state, batch)
+            losses.append(float(m["train/total_loss"]))
+        return state, losses
+
+    state_b, losses_b = run(True)
+    assert jax.tree.leaves(state_b.params)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(state_b.opt_state.nu)[0].dtype == jnp.bfloat16
+    assert all(np.isfinite(l) for l in losses_b)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(state_b.ema_params))
+    _, losses_f = run(False)
+    # same optimization signal: both runs cut the loss, and the bf16 run's
+    # final loss is within 1.5x of the f32 run's on this tiny problem
+    assert losses_b[-1] < 0.8 * losses_b[0]
+    assert losses_f[-1] < 0.8 * losses_f[0]
+    assert losses_b[-1] < 1.5 * losses_f[-1] + 1e-3
+
+
 def test_fused_adamw_update_method_matches_update_with_ema():
     """The optax-compatible .update fallback applies the same math."""
     import optax
