@@ -426,6 +426,40 @@ def test_zero1_optimizer_state_sharding(tiny_setup):
     assert sharded_leaves, "no optimizer leaves actually sharded"
 
 
+def test_zero1_sharding_with_bf16_sr_state(tiny_setup):
+    """ZeRO-1 sharding composes with the full-bf16 stochastic-rounded state:
+    the sharded step must be BIT-equal to the unsharded one (threefry bits
+    are position-based, so the per-leaf rounding noise is sharding-
+    invariant), with moments actually sharded on dp."""
+    from mode_diffusion_policy_tpu.parallel.mesh import zero1_state_sharding
+
+    cfg, agent, variables = tiny_setup
+    mesh = make_mesh()
+    optimizer, _ = make_optimizer(variables["params"], learning_rate=1e-3,
+                                  use_lr_scheduler=False,
+                                  stochastic_round=True,
+                                  mu_dtype=jnp.bfloat16,
+                                  nu_dtype=jnp.bfloat16)
+    step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
+    batch = shard_batch(mesh, make_batch(cfg, B=8, seed=0))
+    mk = lambda: TrainState.create(variables, optimizer,  # noqa: E731
+                                   jax.random.PRNGKey(1),
+                                   param_dtype=jnp.bfloat16,
+                                   ema_dtype=jnp.bfloat16)
+    rep = replicated(mesh)
+    sr_state, _ = jax.jit(step_fn, out_shardings=(rep, rep))(
+        jax.device_put(mk(), rep), batch)
+    zsh = zero1_state_sharding(mesh, mk())
+    sz_state, _ = jax.jit(step_fn, out_shardings=(zsh, rep))(
+        jax.device_put(mk(), zsh), batch)
+    for a, b in zip(jax.tree.leaves(sr_state.params),
+                    jax.tree.leaves(sz_state.params)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    assert [x for x in jax.tree.leaves(sz_state.opt_state)
+            if hasattr(x, "sharding") and x.sharding.spec == ("dp",)]
+
+
 def test_checkpoint_manager_best_tracking(tmp_path, tiny_setup):
     from mode_diffusion_policy_tpu.training.loop import CheckpointManager
     cfg, agent, variables = tiny_setup
