@@ -183,6 +183,11 @@ def main(argv=None):
     # a passed value always wins (MODEL_ARG_DEFAULTS)
     p.add_argument("--sampler-type", default=None)
     p.add_argument("--num-sampling-steps", type=int, default=None)
+    p.add_argument("--sampler-unroll", type=int, default=1,
+                   help="DDIM scan unroll factor; = num sampling steps fully "
+                        "unrolls so per-step routing/sigma gathers fold into "
+                        "constants (bit-identical; longer compile — "
+                        "docs/PERF.md 'sampler glue')")
     p.add_argument("--noise-scheduler", default=None)
     p.add_argument("--sigma-min", type=float, default=None)
     p.add_argument("--sigma-max", type=float, default=None)
@@ -239,7 +244,8 @@ def main(argv=None):
                     size=args.image_size, train=False))
             return super().step(obs, goal)
 
-    policy = PreprocPolicy(agent, variables, lang_cache)
+    policy = PreprocPolicy(agent, variables, lang_cache,
+                           sampler_unroll=args.sampler_unroll)
     video = RolloutVideo(save_dir=str(Path(args.log_dir) / "videos")) \
         if args.num_videos > 0 else None
     evaluator = LongHorizonEvaluator(

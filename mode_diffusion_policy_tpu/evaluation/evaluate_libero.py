@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--resnet-type", default=None)
     p.add_argument("--sampler-type", default=None)
     p.add_argument("--num-sampling-steps", type=int, default=None)
+    p.add_argument("--sampler-unroll", type=int, default=1,
+                   help="DDIM scan unroll factor (see evaluate_calvin)")
     p.add_argument("--noise-scheduler", default=None)
     p.add_argument("--sigma-min", type=float, default=None)
     p.add_argument("--sigma-max", type=float, default=None)
@@ -82,7 +84,8 @@ def main(argv=None):
                         size=args.img_size, train=False))
             return super().step(obs, goal)
 
-    policy = PreprocPolicy(agent, variables, lang_cache)
+    policy = PreprocPolicy(agent, variables, lang_cache,
+                           sampler_unroll=args.sampler_unroll)
 
     if args.fake_env:
         tasks = [(f"fake task {i}",

@@ -587,7 +587,8 @@ class RolloutPolicy:
     """
 
     def __init__(self, agent: MoDEAgent, variables, lang_encoder,
-                 use_routing_precompute: bool = True, seed: int = 0):
+                 use_routing_precompute: bool = True, seed: int = 0,
+                 sampler_unroll: int = 1):
         self.agent = agent
         self.variables = variables
         self.lang = lang_encoder  # callable: list[str] -> [B,1,D]
@@ -602,7 +603,12 @@ class RolloutPolicy:
                                             lang_emb, train=False)
             return agent.denoise_actions(
                 variables, emb, lang_emb, key, inference=True,
-                use_routing_precompute=use_routing_precompute)
+                use_routing_precompute=use_routing_precompute,
+                # sampler_unroll=num_sampling_steps fully unrolls the DDIM
+                # scan: per-step routing/sigma/scaling gathers fold into
+                # constants (bit-identical; compile time grows — docs/PERF.md
+                # "sampler glue")
+                extra_args={"unroll": sampler_unroll})
 
         self._policy = jax.jit(_policy)
 

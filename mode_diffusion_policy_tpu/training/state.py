@@ -36,7 +36,12 @@ class TrainState:
         if param_dtype is not None:
             params = jax.tree.map(lambda x: x.astype(param_dtype), params)
         if ema_dtype is not None:
-            ema = jax.tree.map(lambda x: x.astype(ema_dtype), params)
+            # copy=True: astype alone is a no-op when the dtype already
+            # matches (e.g. bf16 params + bf16 EMA), and aliasing params
+            # breaks buffer donation in the jitted train step ("donate the
+            # same buffer twice")
+            ema = jax.tree.map(
+                lambda x: jnp.array(x, dtype=ema_dtype, copy=True), params)
         else:
             # materialize a distinct buffer copy — aliasing params would
             # break buffer donation in the jitted train step

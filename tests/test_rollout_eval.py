@@ -191,7 +191,10 @@ def test_evaluate_cli_fake_env(tmp_path):
         "--fake-env", "--num-sequences", "2", "--ep-len", "4",
         "--latent-dim", "32", "--n-layers", "1", "--resnet-type", "18",
         "--image-size", "24", "--log-dir", str(tmp_path),
-        "--fake-steps-to-success", "2"])
+        "--fake-steps-to-success", "2",
+        # exercise the unrolled-sampler serving lever end-to-end (the
+        # unroll is bit-identical by test_samplers_parity, so results match)
+        "--sampler-unroll", "10"])
     assert "avg_seq_len" in ranking
     assert (tmp_path / "results.json").exists()
 

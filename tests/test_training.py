@@ -524,6 +524,18 @@ def test_trainer_auto_layout_fit(tiny_setup, tmp_path):
     for a, b in zip(jax.tree.leaves(finals[False]),
                     jax.tree.leaves(finals[True])):
         np.testing.assert_allclose(a, b, atol=1e-6)
+    # the two TPU train levers compose: AUTO layouts + full-bf16 SR state
+    trainer = Trainer(agent, log_dir=str(tmp_path / "run_combo"),
+                      max_epochs=1, limit_train_batches=2,
+                      optimizer_kwargs={"learning_rate": 1e-3,
+                                        "use_lr_scheduler": False},
+                      auto_layout=True, bf16_full_state=True)
+    state = trainer.setup(jax.random.PRNGKey(0), image_hw=(32, 32))
+    state = trainer.fit(state, lambda: iter(batches[:2]))
+    assert int(state.step) == 2
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.bfloat16
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree.leaves(state.params))
 
 
 def test_dryrun_multichip_numerics_gate():
