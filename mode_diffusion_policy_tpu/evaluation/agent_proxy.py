@@ -194,6 +194,10 @@ def main(argv=None):
     p.add_argument("--resnet-type", default="50")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--clip-checkpoint", default=None)
+    p.add_argument("--serving-mode", default="auto",
+                   help="fast-path preset (serving.SERVING_MODES)")
+    p.add_argument("--sampler-unroll", type=int, default=1,
+                   help="DDIM scan unroll factor (see evaluate_calvin)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -210,10 +214,12 @@ def main(argv=None):
             num_sampling_steps=10, noise_scheduler="exponential",
             sigma_min=0.001, sigma_max=80.0, latent_dim=args.latent_dim,
             n_layers=args.n_layers, resnet_type=args.resnet_type,
-            image_size=args.image_size, bf16=False, no_ema=False)
+            image_size=args.image_size, bf16=False, no_ema=False,
+            serving_mode=args.serving_mode)
         agent, variables = build_agent(ns)
         lang = build_lang_clip(clip_checkpoint=args.clip_checkpoint)
-        policy = RolloutPolicy(agent, variables, LangEmbeddingCache(lang))
+        policy = RolloutPolicy(agent, variables, LangEmbeddingCache(lang),
+                               sampler_unroll=args.sampler_unroll)
         return CalvinAgentWrapper(policy, DEFAULT_OBS_SPACE, DEFAULT_PROPRIO,
                                   image_size=args.image_size)
 

@@ -426,6 +426,38 @@ def test_zero1_optimizer_state_sharding(tiny_setup):
     assert sharded_leaves, "no optimizer leaves actually sharded"
 
 
+def test_bf16_state_checkpoint_resume(tiny_setup, tmp_path):
+    """Orbax auto-resume round-trips the full-bf16 SR training state: a
+    fresh Trainer pointed at the same log_dir restores bf16 dtypes and the
+    exact parameter/moment values saved at the epoch boundary."""
+    from mode_diffusion_policy_tpu.training.loop import Trainer
+
+    cfg, agent, _ = tiny_setup
+    batches = [make_batch(cfg, B=8, seed=s) for s in range(2)]
+    kw = dict(log_dir=str(tmp_path / "run"), max_epochs=1,
+              limit_train_batches=2,
+              optimizer_kwargs={"learning_rate": 1e-3,
+                                "use_lr_scheduler": False},
+              bf16_full_state=True)
+    t1 = Trainer(agent, **kw)
+    s1 = t1.setup(jax.random.PRNGKey(0), image_hw=(32, 32))
+    s1 = t1.fit(s1, lambda: iter(batches))
+
+    t2 = Trainer(agent, **kw)
+    s2 = t2.setup(jax.random.PRNGKey(0), image_hw=(32, 32))
+    assert t2.resumed
+    assert int(s2.step) == int(s1.step) == 2
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        assert b.dtype == a.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    for a, b in zip(jax.tree.leaves(s1.opt_state.nu),
+                    jax.tree.leaves(s2.opt_state.nu)):
+        assert b.dtype == a.dtype
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
 def test_zero1_sharding_with_bf16_sr_state(tiny_setup):
     """ZeRO-1 sharding composes with the full-bf16 stochastic-rounded state:
     the sharded step must be BIT-equal to the unsharded one (threefry bits
