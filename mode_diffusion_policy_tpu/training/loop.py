@@ -419,6 +419,28 @@ class Trainer:
                 pass
             return fn()
 
+        # graceful preemption (TPU pools send SIGTERM before reclaim): flag
+        # the request, finish the in-flight step, checkpoint at the batch
+        # boundary, and return — auto-resume picks the run back up. Chained
+        # so the shm-cache unlink handler (data/shm_cache.py) still runs.
+        import signal
+        self._preempted = False
+        prev_handler = signal.getsignal(signal.SIGTERM)
+
+        def _on_sigterm(signum, frame):
+            logger.warning("SIGTERM: checkpointing at the next batch "
+                           "boundary, then exiting fit()")
+            self._preempted = True
+            if callable(prev_handler):
+                prev_handler(signum, frame)
+
+        installed = False
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+            installed = True
+        except ValueError:   # not the main thread (e.g. test harness)
+            pass
+
         start_epoch = int(jax.device_get(state.epoch))
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
@@ -444,6 +466,15 @@ class Trainer:
                             if not k.startswith("expert")}
                     host["train/lr"] = float(self._schedule(int(state.step)))
                     self.logger.log(host, int(state.step))
+                if self._preempted:
+                    break
+            if self._preempted:
+                self.ckpt.save(int(state.step), jax.device_get(state),
+                               {"train/preempted": 1.0})
+                logger.warning("preemption checkpoint saved at step %d; "
+                               "auto-resume will continue this run",
+                               int(state.step))
+                break
             dt = time.time() - t0
             epoch_metrics = {"train/epoch_time_s": dt,
                              "train/steps_per_s": n / max(dt, 1e-9)}
@@ -481,6 +512,11 @@ class Trainer:
             self.ckpt.save(int(state.step), jax.device_get(state),
                            epoch_metrics)
             logger.info("epoch %d done in %.1fs: %s", epoch, dt, epoch_metrics)
+        if installed and prev_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except (ValueError, TypeError):
+                pass
         if self.auto_layout:
             # hand back default-layout arrays: downstream export/eval code
             # may run eager ops, which reject XLA-chosen tiled layouts on

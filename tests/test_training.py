@@ -426,6 +426,41 @@ def test_zero1_optimizer_state_sharding(tiny_setup):
     assert sharded_leaves, "no optimizer leaves actually sharded"
 
 
+def test_trainer_preemption_checkpoint(tiny_setup, tmp_path):
+    """SIGTERM mid-epoch (TPU-pool preemption): the Trainer finishes the
+    in-flight batch, checkpoints at the boundary, and returns; a fresh
+    Trainer auto-resumes from that exact step."""
+    import os
+    import signal
+
+    from mode_diffusion_policy_tpu.training.loop import Trainer
+
+    cfg, agent, _ = tiny_setup
+    batches = [make_batch(cfg, B=8, seed=s) for s in range(5)]
+    kw = dict(log_dir=str(tmp_path / "run"), max_epochs=3,
+              limit_train_batches=5,
+              optimizer_kwargs={"learning_rate": 1e-3,
+                                "use_lr_scheduler": False})
+
+    def gen():
+        for i, b in enumerate(batches):
+            if i == 2:   # preempt while the 3rd batch is pending
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    before = signal.getsignal(signal.SIGTERM)
+    t1 = Trainer(agent, **kw)
+    s1 = t1.setup(jax.random.PRNGKey(0), image_hw=(32, 32))
+    s1 = t1.fit(s1, lambda: gen())
+    assert int(s1.step) == 3           # stopped mid-epoch, not at 5 or 15
+    assert t1.ckpt.latest_step() == 3  # boundary checkpoint written
+    assert signal.getsignal(signal.SIGTERM) == before  # handler restored
+
+    t2 = Trainer(agent, **kw)
+    s2 = t2.setup(jax.random.PRNGKey(0), image_hw=(32, 32))
+    assert t2.resumed and int(s2.step) == 3
+
+
 def test_bf16_state_checkpoint_resume(tiny_setup, tmp_path):
     """Orbax auto-resume round-trips the full-bf16 SR training state: a
     fresh Trainer pointed at the same log_dir restores bf16 dtypes and the
