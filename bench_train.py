@@ -30,7 +30,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def setup_flagship_train():
+    """(state, train_n_impl, B) for the flagship train benchmark, with every
+    BENCH_* env knob applied. Shared with bench_train_trace.py so the device
+    trace always profiles exactly the program this benchmark times.
+
+    Env knobs: BENCH_TRAIN_BATCH, BENCH_IMG, BENCH_TRAIN_GROUPED,
+    BENCH_REMAT=0 (skip encoder jax.checkpoint), BENCH_BF16_STATE=1
+    (full-bf16 state + stochastic-rounded updates, 18 vs 28 B/param on the
+    update pass), BENCH_NU_BF16=1 (bf16 second moment only) — docs/PERF.md
+    "train step".
+    """
     from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
                                                         MoDEAgentConfig)
     from mode_diffusion_policy_tpu.ops.image import preprocess_camera
@@ -40,7 +50,6 @@ def main():
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
     IMG = int(os.environ.get("BENCH_IMG", "224"))
-    N = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
 
     cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
                           cond_dim=512, resnet_type="50", num_experts=4,
@@ -54,8 +63,6 @@ def main():
                           # the step); off by default, see docs/PERF.md
                           use_grouped_moe=os.environ.get(
                               "BENCH_TRAIN_GROUPED", "0") == "1",
-                          # BENCH_REMAT=0 skips the encoder jax.checkpoint
-                          # (≈6.6 ms/step of recompute) when HBM allows
                           encoder_remat=os.environ.get(
                               "BENCH_REMAT", "1") == "1")
     agent = MoDEAgent(cfg)
@@ -63,15 +70,10 @@ def main():
     variables = agent.init_variables(jax.random.PRNGKey(0),
                                      image_hw=(IMG, IMG))
     log(f"init {time.time()-t0:.0f}s")
-    # BENCH_BF16_STATE=1: full-bf16 training state (params/moments/EMA) with
-    # stochastic-rounding parameter updates — 18 B/param on the update pass
-    # vs 28 with the f32 master copy (docs/PERF.md "train step")
     bf16_state = os.environ.get("BENCH_BF16_STATE") == "1"
     optimizer, _ = make_optimizer(
         variables["params"], mu_dtype=jnp.bfloat16,
         stochastic_round=bf16_state,
-        # BENCH_NU_BF16=1: bf16 second moment — 4 B/param less optimizer
-        # traffic, NOT optax-bit-compatible (docs/PERF.md "train step")
         nu_dtype=jnp.bfloat16 if bf16_state
         or os.environ.get("BENCH_NU_BF16") == "1" else None)
     state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
@@ -99,6 +101,13 @@ def main():
             st, metrics = step_fn(st, batch)
             return st, metrics["train/total_loss"]
         return jax.lax.scan(body, state, jnp.arange(n))
+
+    return state, train_n_impl, B
+
+
+def main():
+    N = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
+    state, train_n_impl, B = setup_flagship_train()
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         # Let XLA choose entry layouts (kills the per-step expert-weight

@@ -23,7 +23,6 @@ copies — see docs/PERF.md "train step"); BENCH_NU_BF16=1 bf16 second moment.
 """
 from __future__ import annotations
 
-import functools
 import glob
 import gzip
 import json
@@ -37,7 +36,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_mode_tpu"))
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
@@ -137,55 +135,13 @@ def analyze(trace_dir: str, n_steps: int):
 # ---------------------------------------------------------------------------
 
 def main():
-    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
-                                                        MoDEAgentConfig)
-    from mode_diffusion_policy_tpu.ops.image import preprocess_camera
-    from mode_diffusion_policy_tpu.training.loop import make_train_step
-    from mode_diffusion_policy_tpu.training.optim import make_optimizer
-    from mode_diffusion_policy_tpu.training.state import TrainState
+    # identical model/optimizer/batch setup to bench_train.py (same BENCH_*
+    # env knobs) so the trace profiles exactly the program the bench times
+    from bench_train import setup_flagship_train
 
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
-    IMG = int(os.environ.get("BENCH_IMG", "224"))
     N = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/train_trace")
-
-    cfg = MoDEAgentConfig(latent_dim=1024, n_layers=12, n_heads=8,
-                          cond_dim=512, resnet_type="50", num_experts=4,
-                          top_k=2, entropy_gamma=0.01, router_z_delta=0.001,
-                          dtype=jnp.bfloat16)
-    agent = MoDEAgent(cfg)
-    t0 = time.time()
-    variables = agent.init_variables(jax.random.PRNGKey(0),
-                                     image_hw=(IMG, IMG))
-    log(f"init {time.time() - t0:.0f}s")
-    optimizer, _ = make_optimizer(
-        variables["params"], mu_dtype=jnp.bfloat16,
-        nu_dtype=jnp.bfloat16 if os.environ.get("BENCH_NU_BF16") == "1"
-        else None)
-    state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
-                              ema_dtype=jnp.bfloat16)
-    step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
-
-    rng = np.random.default_rng(0)
-    ru8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
-    gu8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
-    acts = jnp.asarray(
-        rng.standard_normal((B, 10, 7)).astype(np.float32) * .3)
-    lang = jnp.asarray(rng.standard_normal((B, 1, 512)).astype(np.float32))
-
-    def train_n(st, n):
-        def body(st, i):
-            key = jax.random.fold_in(jax.random.PRNGKey(7), i)
-            batch = {
-                "rgb_static": preprocess_camera(key, ru8, size=IMG,
-                                                shift_pad=10, train=True),
-                "rgb_gripper": preprocess_camera(key, gu8, size=IMG,
-                                                 shift_pad=4, train=True),
-                "actions": acts, "lang_emb": lang,
-            }
-            st, metrics = step_fn(st, batch)
-            return st, metrics["train/total_loss"]
-        return jax.lax.scan(body, st, jnp.arange(n))
+    state, train_n, _ = setup_flagship_train()
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         from mode_diffusion_policy_tpu.training.loop import jit_auto_layout

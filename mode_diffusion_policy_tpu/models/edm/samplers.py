@@ -302,7 +302,7 @@ def sample_ddim(denoiser, x, sigmas, key=None, unroll: int = 1, **_):
         return x, None
 
     xs = (jnp.arange(n), jnp.asarray(sigmas[:-1]), jnp.asarray(ratios))
-    x, _ = jax.lax.scan(step, x, xs, unroll=min(unroll, n))
+    x, _ = jax.lax.scan(step, x, xs, unroll=max(1, min(int(unroll), n)))
     return x
 
 

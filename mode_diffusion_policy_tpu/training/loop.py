@@ -105,7 +105,7 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
 
 def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
                     donate: bool = True, state_sharding=None,
-                    rest_shardings=None):
+                    rest_shardings=None, out_shardings=None):
     """Compile ``fn(state, *example_args)`` letting XLA choose the ENTRY
     layouts for every array (``Layout.AUTO``), and re-lay ``state`` out to
     match.
@@ -128,6 +128,10 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     tuple, one entry per non-state dynamic arg) pins the remaining args to
     concrete shardings/default layouts — used by :class:`Trainer` so host
     batches keep arriving through the normal ``shard_batch`` path.
+    ``out_shardings`` (optional prefix pytree) pins outputs — pass a
+    concrete sharding for outputs that downstream EAGER code touches (e.g.
+    metrics), since some backends reject eager ops on XLA-chosen tiled
+    layouts (see :func:`relayout_default`).
     """
     from jax.experimental.layout import Format, Layout
 
@@ -136,7 +140,9 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     in_sh = auto if rest_shardings is None else (auto, *rest_shardings)
     jf = jax.jit(fn, static_argnums=static_argnums,
                  donate_argnums=(0,) if donate else (),
-                 in_shardings=in_sh, out_shardings=Format(Layout.AUTO))
+                 in_shardings=in_sh,
+                 out_shardings=(Format(Layout.AUTO) if out_shardings is None
+                                else out_shardings))
     # AUTO-layout args must be lowered as abstract shapes: a committed
     # jax.Array carries a concrete layout, which jit rejects against AUTO
     state_shapes = jax.tree.map(
@@ -147,14 +153,29 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     state = jax.tree.map(jax.device_put, state, state_formats)
     static = set(static_argnums)
 
+    flat_formats, fmt_treedef = jax.tree.flatten(state_formats)
+
+    def _relay(x, fmt):
+        # steady state (donated output feeding back in) already matches —
+        # compare formats instead of paying a device_put dispatch per leaf
+        if getattr(x, "format", None) == fmt:
+            return x
+        try:
+            return jax.device_put(x, fmt)
+        except Exception:
+            # some backends reject certain on-device relayouts (see
+            # relayout_default); round-trip through the host
+            return jax.device_put(np.asarray(x), fmt)
+
     def call(st, *args):
         # AOT-compiled fns take only the dynamic args; keep the jit-style
         # signature so call sites can toggle AUTO without changing shape.
-        # Re-lay the state to this program's chosen formats first: device_put
-        # is a no-op view when the layout already matches, and it lets two
-        # variants compiled for different static args chain state even if
-        # their chosen layouts disagree.
-        st = jax.tree.map(jax.device_put, st, state_formats)
+        # Re-lay the state to this program's chosen formats first so other
+        # producers (checkpoint restore, a variant compiled for a different
+        # static arg) can chain state even if their layouts disagree.
+        flat_st = jax.tree.leaves(st)
+        st = jax.tree.unflatten(
+            fmt_treedef, [_relay(x, f) for x, f in zip(flat_st, flat_formats)])
         dyn = [a for i, a in enumerate(args, start=1) if i not in static]
         return compiled(st, *dyn)
 
@@ -347,6 +368,7 @@ class Trainer:
         self._optimizer = None
         self._train_step = None
         self._step_fn = None
+        self._auto_steps = {}   # auto_layout: AOT variants per batch shape
         self._batch_shardings = None
         self.resumed = False
 
@@ -378,6 +400,7 @@ class Trainer:
             # needs concrete batch shapes (jit_auto_layout docstring)
             self._step_fn = step_fn
             self._train_step = None
+            self._auto_steps = {}
         else:
             self._train_step = jax.jit(
                 step_fn,
@@ -408,21 +431,15 @@ class Trainer:
 
     def fit(self, state: TrainState, train_iter_fn: Callable[[], Iterable],
             val_iter_fn: Optional[Callable[[], Iterable]] = None) -> TrainState:
-        """train_iter_fn() -> iterable of host batches per epoch."""
-        import inspect
+        """train_iter_fn() -> iterable of host batches per epoch.
 
-        def _call_iter(fn, epoch):
-            try:
-                if len(inspect.signature(fn).parameters) >= 1:
-                    return fn(epoch)
-            except (TypeError, ValueError):
-                pass
-            return fn()
-
-        # graceful preemption (TPU pools send SIGTERM before reclaim): flag
-        # the request, finish the in-flight step, checkpoint at the batch
-        # boundary, and return — auto-resume picks the run back up. Chained
-        # so the shm-cache unlink handler (data/shm_cache.py) still runs.
+        Installs a graceful-preemption SIGTERM handler for the duration of
+        the run (TPU pools send SIGTERM before reclaim): the in-flight batch
+        finishes, a checkpoint is written at the batch boundary, and fit()
+        returns — auto-resume picks the run back up. Chained so the
+        shm-cache unlink handler (data/shm_cache.py) still runs; the
+        previous handler is restored even if fit() raises.
+        """
         import signal
         self._preempted = False
         prev_handler = signal.getsignal(signal.SIGTERM)
@@ -440,6 +457,27 @@ class Trainer:
             installed = True
         except ValueError:   # not the main thread (e.g. test harness)
             pass
+        try:
+            return self._fit_inner(state, train_iter_fn, val_iter_fn)
+        finally:
+            if installed:
+                try:
+                    signal.signal(signal.SIGTERM,
+                                  prev_handler if prev_handler is not None
+                                  else signal.SIG_DFL)
+                except (ValueError, TypeError):
+                    pass
+
+    def _fit_inner(self, state: TrainState, train_iter_fn, val_iter_fn):
+        import inspect
+
+        def _call_iter(fn, epoch):
+            try:
+                if len(inspect.signature(fn).parameters) >= 1:
+                    return fn(epoch)
+            except (TypeError, ValueError):
+                pass
+            return fn()
 
         start_epoch = int(jax.device_get(state.epoch))
         for epoch in range(start_epoch, self.max_epochs):
@@ -450,12 +488,25 @@ class Trainer:
                 if n >= self.limit_train_batches:
                     break
                 batch = shard_batch(self.mesh, batch)
-                if self._train_step is None:  # auto_layout lazy compile
-                    self._train_step, state = jit_auto_layout(
-                        self._step_fn, state, example_args=(batch,),
-                        state_sharding=replicated(self.mesh),
-                        rest_shardings=(self._batch_shardings,))
-                state, metrics = self._train_step(state, batch)
+                if self.auto_layout:
+                    # one AOT variant per batch shape (AOT programs don't
+                    # retrace, so a short final batch compiles its own);
+                    # metrics stay replicated/default-layout so eager
+                    # telemetry ops on them are safe on every backend
+                    bkey = tuple(x.shape[0] for x in jax.tree.leaves(batch))
+                    step_call = self._auto_steps.get(bkey)
+                    if step_call is None:
+                        from jax.experimental.layout import Format, Layout
+                        rep = replicated(self.mesh)
+                        step_call, state = jit_auto_layout(
+                            self._step_fn, state, example_args=(batch,),
+                            state_sharding=rep,
+                            rest_shardings=(self._batch_shardings,),
+                            out_shardings=(Format(Layout.AUTO), rep))
+                        self._auto_steps[bkey] = step_call
+                else:
+                    step_call = self._train_step
+                state, metrics = step_call(state, batch)
                 n += 1
                 if "expert_counts" in metrics:
                     ec = metrics["expert_counts"]
@@ -512,11 +563,6 @@ class Trainer:
             self.ckpt.save(int(state.step), jax.device_get(state),
                            epoch_metrics)
             logger.info("epoch %d done in %.1fs: %s", epoch, dt, epoch_metrics)
-        if installed and prev_handler is not None:
-            try:
-                signal.signal(signal.SIGTERM, prev_handler)
-            except (ValueError, TypeError):
-                pass
         if self.auto_layout:
             # hand back default-layout arrays: downstream export/eval code
             # may run eager ops, which reject XLA-chosen tiled layouts on
