@@ -17,6 +17,12 @@ bench:
 bench-train:
 	python bench_train.py
 
+bench-data:
+	python bench_data.py
+
+trace-train:
+	python bench_train_trace.py
+
 entry:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py
 
