@@ -103,6 +103,33 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def _relay_consuming(state, state_formats):
+    """Re-lay ``state`` to ``state_formats`` leaf by leaf, deleting each
+    source buffer as soon as its copy lands.
+
+    A whole-tree ``device_put`` holds the old AND new state resident at once
+    — for the flagship TrainState (~10 GB of params/moments/EMA) that is a
+    guaranteed RESOURCE_EXHAUSTED on a 16 GB v5e chip (observed on the real
+    backend; the CPU tests never see it). Peak overhead here is one leaf.
+    The input state's device buffers are consumed (donation semantics) —
+    callers must use the returned tree, as both call sites do."""
+    flat, treedef = jax.tree.flatten(state)
+    fmts = treedef.flatten_up_to(state_formats)
+    out = []
+    for x, fmt in zip(flat, fmts):
+        if not isinstance(x, jax.Array):
+            out.append(jax.device_put(x, fmt))
+            continue
+        if getattr(x, "format", None) == fmt:
+            out.append(x)
+            continue
+        y = jax.device_put(x, fmt)
+        y.block_until_ready()
+        x.delete()
+        out.append(y)
+    return jax.tree.unflatten(treedef, out)
+
+
 def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
                     donate: bool = True, state_sharding=None,
                     rest_shardings=None, out_shardings=None):
@@ -121,7 +148,9 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     formats.
 
     Returns ``(compiled_fn, state_in_chosen_layout)``. The compiled fn is
-    specialized to ``example_args`` for the static argnums.
+    specialized to ``example_args`` for the static argnums. The input
+    ``state``'s device buffers are CONSUMED by the re-lay (donation
+    semantics, see :func:`_relay_consuming`) — use the returned state.
 
     ``state_sharding`` (optional NamedSharding) pins the state's mesh
     sharding while leaving its layout AUTO; ``rest_shardings`` (optional
@@ -150,7 +179,7 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
         if isinstance(x, jax.Array) else x, state)
     compiled = jf.lower(state_shapes, *example_args).compile()
     state_formats = compiled.input_formats[0][0]
-    state = jax.tree.map(jax.device_put, state, state_formats)
+    state = _relay_consuming(state, state_formats)
     static = set(static_argnums)
 
     flat_formats, fmt_treedef = jax.tree.flatten(state_formats)
@@ -449,7 +478,15 @@ class Trainer:
                            "boundary, then exiting fit()")
             self._preempted = True
             if callable(prev_handler):
-                prev_handler(signum, frame)
+                try:
+                    prev_handler(signum, frame)
+                except SystemExit:
+                    # the shm-cache handler chain (data/shm_cache.py) ends in
+                    # SystemExit when its own prev was SIG_DFL; every cleanup
+                    # in the chain has already run by then. Swallow it — the
+                    # whole point of this handler is to defer the exit to the
+                    # batch boundary so the checkpoint gets written.
+                    pass
 
         installed = False
         try:
