@@ -72,7 +72,16 @@ def main():
                           # unlike the MoE contribution), so opt-in like the
                           # int8 encoders (docs/PERF.md).
                           use_int8_attn=os.environ.get(
-                              "BENCH_INT8_ATTN", "0") == "1")
+                              "BENCH_INT8_ATTN", "0") == "1",
+                          # round-4 bisection knobs for the round-3 hoisted
+                          # chunk-invariant path (BENCH_HOIST=0 restores the
+                          # round-2 per-step denoiser; BENCH_PRECAST=0 keeps
+                          # the hoist but skips the per-chunk f32->bf16
+                          # weight cast)
+                          hoist_chunk_invariants=os.environ.get(
+                              "BENCH_HOIST", "1") == "1",
+                          precast_weights=os.environ.get(
+                              "BENCH_PRECAST", "1") == "1")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     if os.environ.get("BENCH_REAL_INIT", "0") == "1":
@@ -93,6 +102,13 @@ def main():
         # BN-folded encoders + space-to-depth stem (exact rewrites; see
         # tests/test_resnet_fold.py). BENCH_FOLD=0 reverts.
         variables = agent.fold_encoders_for_inference(variables)
+
+    if os.environ.get("BENCH_HOSTCAST", "1") == "1":
+        # one-time host-side bf16 precast of the DiT matmul weights (round 4:
+        # the in-jit per-chunk cast was the r3 b=1 regression — with
+        # bf16-resident leaves it becomes a no-op XLA folds away; bit-exact).
+        # BENCH_HOSTCAST=0 restores the r3 per-chunk-cast shape.
+        variables = agent.precast_for_serving(variables)
 
     latency_variables = variables   # b=1 serving: int8 encoders don't pay
                                     # back their quant overhead at batch 1

@@ -16,7 +16,9 @@ bytes.
 
 Prints one JSON line: {"metric": "host_loader", "value": <samples/s>, ...}.
 Knobs: BENCH_DATA_BATCH (32), BENCH_DATA_BATCHES (30), BENCH_DATA_SHM (1),
-BENCH_DATA_HW (200 synthetic image size), --data-root <real CALVIN dir>.
+BENCH_DATA_HW (200 synthetic image size), BENCH_DATA_WORKERS (0 = inline
+assembly; N >= 1 forks N batch-assembly workers over the shm cache),
+--data-root <real CALVIN dir>.
 """
 from __future__ import annotations
 
@@ -52,6 +54,7 @@ def main(argv=None):
     n_batches = int(os.environ.get("BENCH_DATA_BATCHES", "30"))
     use_shm = os.environ.get("BENCH_DATA_SHM", "1") == "1"
     hw = int(os.environ.get("BENCH_DATA_HW", "200"))
+    workers = int(os.environ.get("BENCH_DATA_WORKERS", "0"))
 
     tmp = None
     if args.data_root:
@@ -64,7 +67,7 @@ def main(argv=None):
         log(f"synthetic CALVIN fixture at {root} ({hw}x{hw} frames)")
 
     t0 = time.time()
-    dm = CalvinDataModule(str(root), batch_size=B,
+    dm = CalvinDataModule(str(root), batch_size=B, num_workers=workers,
                           use_shm_cache=use_shm).setup()
     setup_s = time.time() - t0
     log(f"setup (incl. shm preload: {use_shm}): {setup_s:.1f}s, "
@@ -94,7 +97,7 @@ def main(argv=None):
     print(json.dumps({
         "metric": "host_loader_samples_per_s", "value": round(sps, 1),
         "unit": "samples/s",
-        "batch": B, "shm_cache": use_shm,
+        "batch": B, "shm_cache": use_shm, "workers": workers,
         "vs_train_step": round(chips_fed, 2),
     }))
     if tmp is not None:

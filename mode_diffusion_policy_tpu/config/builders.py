@@ -227,6 +227,8 @@ def build_calvin_datamodule(dm_cfg: Dict[str, Any], lang_embed=None):
         use_extracted_rel_actions=bool(
             lang_ds.get("use_extracted_rel_actions", False)),
         use_shm_cache=bool(dm_cfg.get("use_shm_cache", False)),
+        num_workers=int(lang_ds.get("num_workers",
+                                    dm_cfg.get("num_workers", 0))),
         lang_embed=lang_embed,
         shuffle_val=bool(dm_cfg.get("shuffle_val", False)),
         transforms=dm_cfg.get("transforms"),

@@ -79,10 +79,93 @@ class _Prefetcher:
             yield item
 
 
+class _ForkWorkerPool:
+    """Multi-process batch assembly over the (shared-memory backed) dataset —
+    the host-side analog of the reference's 12-worker DataLoaders
+    (/root/reference/mode/datasets/hulc_data_module.py:100-116 +
+    shared_memory_utils.py:174-186, 8-proc loader).
+
+    Workers are ``fork``ed so they inherit the dataset object and its
+    attached shm segments copy-on-write (no pickling, no re-import of jax —
+    children touch ONLY numpy; anything jax-flavored like the language
+    embedder runs in the parent). Worker ``w`` assembles every batch with
+    ``batch_idx % num_workers == w`` and ships ``(batch_idx, batch)`` back
+    over an mp.Queue; the parent reorders through a small buffer so the
+    emitted stream is bit-identical to the single-process iterator
+    (tests/test_data_calvin.py::test_multiworker_batches_deterministic)."""
+
+    def __init__(self, dataset, indices, batch_size: int, num_workers: int,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.indices = indices
+        self.bs = batch_size
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+
+    def _chunks(self):
+        bs, idx = self.bs, self.indices
+        out = []
+        for i in range(0, len(idx), bs):
+            c = idx[i:i + bs]
+            if self.drop_last and len(c) < bs:
+                break
+            out.append(c)
+        return out
+
+    def _worker(self, wid, chunks, q):
+        try:
+            for bi in range(wid, len(chunks), self.num_workers):
+                items = [self.dataset[int(j)] for j in chunks[bi]]
+                q.put((bi, collate_episodes(items, lang_embed=None)))
+            q.put(("done", wid))
+        except BaseException as e:
+            q.put(("error", repr(e)))
+
+    def __iter__(self):
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        chunks = self._chunks()
+        # depth bound: at most 2 in-flight batches per worker beyond the
+        # reorder point keeps memory flat when one worker runs ahead
+        q = ctx.Queue(maxsize=2 * self.num_workers)
+        procs = [ctx.Process(target=self._worker, args=(w, chunks, q),
+                             daemon=True)
+                 for w in range(self.num_workers)]
+        for p in procs:
+            p.start()
+        try:
+            buf: Dict[int, Dict] = {}
+            nxt, done = 0, 0
+            while nxt < len(chunks):
+                if nxt in buf:
+                    yield buf.pop(nxt)
+                    nxt += 1
+                    continue
+                if done == self.num_workers:
+                    raise RuntimeError(
+                        f"loader workers exited early: batch {nxt} of "
+                        f"{len(chunks)} never arrived")
+                tag, payload = q.get()
+                if tag == "error":
+                    raise RuntimeError(f"loader worker failed: {payload}")
+                if tag == "done":
+                    done += 1
+                    continue
+                buf[tag] = payload
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+                p.join(timeout=5)
+            q.close()
+
+
 class CalvinDataModule:
     """Builds train/val ExtendedDiskDatasets and batch iterators
     (reference HulcDataModule.setup/train_dataloader,
-    hulc_data_module.py:77-160)."""
+    hulc_data_module.py:77-160). ``num_workers >= 1`` forks that many batch
+    assembly processes over the shm cache (see :class:`_ForkWorkerPool`);
+    0 assembles inline under the prefetch thread."""
 
     def __init__(self, root_data_dir: str, *, batch_size: int = 32,
                  act_seq_len: int = 10, obs_seq_len: int = 1,
@@ -93,7 +176,8 @@ class CalvinDataModule:
                  shuffle_val: bool = False, seed: int = 42,
                  transforms: Optional[Dict] = None,
                  dataset_cls=ExtendedDiskDataset,
-                 dataset_kwargs: Optional[Dict] = None):
+                 dataset_kwargs: Optional[Dict] = None,
+                 num_workers: int = 0):
         self.root = Path(root_data_dir)
         self.training_dir = self.root / "training"
         self.val_dir = self.root / "validation"
@@ -109,6 +193,7 @@ class CalvinDataModule:
         self.seed = seed
         self.dataset_cls = dataset_cls
         self.dataset_kwargs = dataset_kwargs or {}
+        self.num_workers = num_workers
         self.transforms = transforms or {"train": {}, "val": {}}
         self.train_dataset = None
         self.val_dataset = None
@@ -156,6 +241,16 @@ class CalvinDataModule:
         if shuffle:
             np.random.default_rng(self.seed + epoch_seed).shuffle(indices)
         bs = self.batch_size
+        if self.num_workers >= 1:
+            # fork-pool assembly; the (possibly jax-backed) language embedder
+            # must run here in the parent, never in a forked child
+            for batch in _ForkWorkerPool(dataset, indices, bs,
+                                         self.num_workers, drop_last):
+                if self.lang_embed is not None:
+                    batch["lang_emb"] = np.asarray(
+                        self.lang_embed(batch["lang_text"]), np.float32)
+                yield batch
+            return
         for i in range(0, len(indices) - (bs - 1 if drop_last else 0), bs):
             chunk = indices[i:i + bs]
             if drop_last and len(chunk) < bs:

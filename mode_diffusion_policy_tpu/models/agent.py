@@ -152,6 +152,15 @@ class MoDEAgentConfig:
     use_grouped_moe: bool = False
     use_pallas_attn: bool = False
     use_int8_attn: bool = False
+    # Inference fast-path structure (round-4 bisection knobs — docs/PERF.md
+    # "b=1 latency"). hoist_chunk_invariants: compute camera/goal/sigma
+    # tokens + EDM scalings once per chunk (MoDeDiT.forward_precomputed)
+    # instead of inside every denoise step. precast_weights: additionally
+    # cast the f32 matmul leaves to the compute dtype once per chunk.
+    # Both bit-identical to the per-step path; flip off to recover the
+    # round-2 denoiser shape when profiling small-batch latency.
+    hoist_chunk_invariants: bool = True
+    precast_weights: bool = True
     # rematerialize encoder activations in the train-step backward. True
     # trades one extra encoder forward (~8 ms @ b=32 flagship) for ~7GB of
     # activation memory; set False when the batch/model fits HBM without it
@@ -491,6 +500,25 @@ class MoDEAgent:
             _dit_vars(variables),
             jnp.asarray(sigmas), method=MoDeDiT.precompute_routing)
 
+    def precast_for_serving(self, variables):
+        """Cast the DiT matmul parameter leaves to the compute dtype ONCE, at
+        serving setup, outside any jit (round 4, docs/PERF.md "b=1 latency").
+
+        The round-3 fast path ran `_cast_matmul_weights` INSIDE the jitted
+        per-chunk policy: ~0.7 GB of f32 parameter reads + 0.35 GB of bf16
+        writes per chunk, which amortizes at b=128 but dominated the b=1
+        budget (the 8.11 -> 9.13 ms r3 regression). With bf16-resident
+        leaves, the in-jit cast becomes a dtype-equal no-op that XLA folds
+        away. Bit-identical to per-use casting: every consumer (DenseP /
+        Pallas kernels / router) casts these same leaves to ``cfg.dtype``
+        before use anyway; norm scales stay f32."""
+        if self.cfg.dtype == jnp.float32:
+            return variables
+        params = dict(variables["params"])
+        params["inner_model"] = _cast_matmul_weights(params["inner_model"],
+                                                     self.cfg.dtype)
+        return {**variables, "params": params}
+
     def make_denoiser(self, variables, perceptual_emb, latent_goal,
                       routing=None, sigmas=None) -> Callable:
         """Returns denoiser(x, sigma_vec, step_idx) for the samplers. With
@@ -505,9 +533,9 @@ class MoDEAgent:
 
         pre = None
         fast_vars = None
-        if routing is not None:
+        if routing is not None and cfg.hoist_chunk_invariants:
             fast_vars = _dit_vars(variables)
-            if cfg.dtype == jnp.bfloat16:
+            if cfg.dtype == jnp.bfloat16 and cfg.precast_weights:
                 # bf16-resident matmul weights: cast once per chunk, outside
                 # the sampler scan (bit-identical — the per-step path casts
                 # the same leaves to cfg.dtype per use)
@@ -527,12 +555,14 @@ class MoDEAgent:
             pre = (static_x, goal_embed, emb_all, cs_all, co_all, ci_all)
 
         def denoiser(x, sigma, step_idx):
-            use_fast = routing is not None and not (
+            on_sched = routing is not None and not (
                 isinstance(step_idx, int) and step_idx < 0)
-            if use_fast:
+            overrides = None
+            if on_sched:
                 overrides = [(jnp.take(idx, step_idx, axis=0),
                               jnp.take(p, step_idx, axis=0))
                              for idx, p in routing]
+            if on_sched and pre is not None:
                 static_x, goal_embed, emb_all, cs_all, co_all, ci_all = pre
                 emb_t = jnp.take(emb_all, step_idx, axis=0)[None]  # [1,1,D]
                 cs = jnp.take(cs_all, step_idx)
@@ -548,7 +578,7 @@ class MoDEAgent:
                 return self.dit.apply(
                     _dit_vars(variables),
                     states, scaled_actions, goal, sigma, train=False,
-                    moe_overrides=None)
+                    moe_overrides=overrides)
 
             return denoiser_forward(inner_apply, perceptual_emb, x,
                                     latent_goal, sigma,
@@ -590,7 +620,10 @@ class RolloutPolicy:
                  use_routing_precompute: bool = True, seed: int = 0,
                  sampler_unroll: int = 1):
         self.agent = agent
-        self.variables = variables
+        # one-time host-side weight precast (see precast_for_serving): the
+        # policy owns this copy, training state is untouched
+        self.variables = agent.precast_for_serving(variables)
+        variables = self.variables
         self.lang = lang_encoder  # callable: list[str] -> [B,1,D]
         self.multistep = agent.cfg.multistep
         self._key = jax.random.PRNGKey(seed)

@@ -123,8 +123,16 @@ def _relay_consuming(state, state_formats):
         if getattr(x, "format", None) == fmt:
             out.append(x)
             continue
-        y = jax.device_put(x, fmt)
-        y.block_until_ready()
+        try:
+            y = jax.device_put(x, fmt)
+            y.block_until_ready()
+        except Exception:
+            # some backends reject certain on-device relayouts with
+            # INVALID_ARGUMENT (observed on the axon v5e relay for a subset
+            # of XLA-chosen tiled formats); round-trip the leaf through the
+            # host like :func:`relayout_default` / ``_relay`` below
+            y = jax.device_put(np.asarray(x), fmt)
+            y.block_until_ready()
         x.delete()
         out.append(y)
     return jax.tree.unflatten(treedef, out)

@@ -76,10 +76,21 @@ def stochastic_round_bf16(x32: jax.Array, key: jax.Array) -> jax.Array:
     and truncate — carries propagate correctly through mantissa/exponent in
     IEEE bit space, and sign-magnitude layout makes it unbiased for both
     signs. inf/NaN pass through unperturbed.
+
+    Noise comes from ``lax.rng_bit_generator`` with the backend-default
+    algorithm (the TPU hardware RNG), NOT threefry: generating 16 random
+    bits per parameter for a 739M-param flagship through counter-based
+    threefry costs more than the HBM traffic the bf16 storage saves (round-4
+    lever table, docs/PERF.md "train step"). SR noise needs uniformity, not
+    cross-backend reproducibility, so the backend-fastest generator is the
+    right default; runs are still deterministic per backend for a fixed key.
     """
     x32 = x32.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
-    rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    seed = jnp.tile(kd, 2)[:4]
+    _, rnd = jax.lax.rng_bit_generator(seed, x32.shape, dtype=jnp.uint32)
+    rnd = rnd & jnp.uint32(0xFFFF)
     rounded = jnp.where(jnp.isfinite(x32), bits + rnd, bits)
     return jax.lax.bitcast_convert_type(
         rounded & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)

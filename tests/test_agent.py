@@ -159,3 +159,52 @@ def test_bf16_fast_path_matches_bf16_dense(agent_and_vars):
     mae = np.abs(np.asarray(fast, np.float32)
                  - np.asarray(slow, np.float32)).mean()
     assert mae <= 5e-4, mae
+
+
+@pytest.mark.parametrize("hoist,precast", [(False, True), (True, False)])
+def test_fast_path_structure_knobs_match(agent_and_vars, hoist, precast):
+    """hoist_chunk_invariants=False must recover the round-2 denoiser
+    (per-step embeds, routing overrides still applied); precast_weights=False
+    must keep the hoist but skip the chunk-level weight cast. Both are
+    bit-identical restructurings (round-4 b=1 latency bisection knobs)."""
+    import dataclasses
+    agent, variables = agent_and_vars
+    batch = make_batch()
+    emb, _ = agent.embed_visual_obs(
+        variables, jnp.asarray(batch["rgb_static"]),
+        jnp.asarray(batch["rgb_gripper"]), jnp.asarray(batch["lang_emb"]),
+        train=False)
+    goal = jnp.asarray(batch["lang_emb"])
+    key = jax.random.PRNGKey(3)
+    ref = agent.denoise_actions(variables, emb, goal, key, inference=True,
+                                use_routing_precompute=True)
+    a2 = MoDEAgent(dataclasses.replace(
+        CFG, hoist_chunk_invariants=hoist, precast_weights=precast))
+    out = a2.denoise_actions(variables, emb, goal, key, inference=True,
+                             use_routing_precompute=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_precast_for_serving_bit_identical(agent_and_vars):
+    """Host-side one-time weight precast (round-4 b=1 fix) must not change
+    denoise numerics: every consumer casts the same leaves to cfg.dtype per
+    use anyway, so bf16-resident weights are bit-identical."""
+    agent, variables = agent_and_vars
+    batch = make_batch()
+    emb, _ = agent.embed_visual_obs(
+        variables, jnp.asarray(batch["rgb_static"]),
+        jnp.asarray(batch["rgb_gripper"]), jnp.asarray(batch["lang_emb"]),
+        train=False)
+    goal = jnp.asarray(batch["lang_emb"])
+    key = jax.random.PRNGKey(9)
+    import dataclasses
+    bf16_agent = MoDEAgent(dataclasses.replace(CFG, dtype=jnp.bfloat16))
+    ref = bf16_agent.denoise_actions(variables, emb, goal, key,
+                                     inference=True,
+                                     use_routing_precompute=True)
+    pre = bf16_agent.precast_for_serving(variables)
+    # the precast must actually have cast something
+    assert pre["params"]["inner_model"] is not variables["params"]["inner_model"]
+    out = bf16_agent.denoise_actions(pre, emb, goal, key, inference=True,
+                                     use_routing_precompute=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -180,3 +180,41 @@ def test_datamodule_with_shm_cache(calvin_root):
     finally:
         for c in dm._shm_caches:
             c.cleanup()
+
+
+def test_multiworker_batches_deterministic(calvin_root):
+    """num_workers>=1 fork-pool assembly must emit the exact same batch
+    stream (order and content) as the inline path, including the
+    parent-applied language embedding."""
+    def fake_lang(texts):
+        return np.stack([np.full((1, 16), float(len(t)), np.float32)
+                         for t in texts])
+
+    dm0 = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                           lang_embed=fake_lang).setup()
+    dm2 = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                           lang_embed=fake_lang, num_workers=2).setup()
+    ref = list(dm0.train_batches(epoch=3))
+    got = list(dm2.train_batches(epoch=3))
+    assert len(ref) == len(got) > 0
+    for a, b in zip(ref, got):
+        assert a["lang_text"] == b["lang_text"]
+        for k in ("rgb_static", "rgb_gripper", "actions", "robot_obs",
+                  "idx", "lang_emb"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_multiworker_worker_failure_propagates(calvin_root):
+    dm = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                          num_workers=2).setup()
+
+    class Boom:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            raise ValueError("synthetic loader failure")
+
+    dm.train_dataset = Boom()
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        next(dm.train_batches(epoch=0))

@@ -17,6 +17,9 @@ state (reference callbacks/ema.py:144-153, evaluation/utils.py:92-103).
 import numpy as np
 import pytest
 
+# flagship-dims oracle comparisons: minutes each on this host
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax

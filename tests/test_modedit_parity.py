@@ -354,6 +354,7 @@ def test_identity_expert_semantics():
     np.testing.assert_allclose(np.asarray(out), golden, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_grouped_moe_equals_dense():
     """use_grouped_moe (sort + ragged_dot, top-k-only compute) must produce
     the identical loss and parameter gradients as the dense-4 path — the

@@ -49,6 +49,7 @@ def test_two_process_distributed_cpu():
         assert f"MP OK pid={pid} devices=4" in out
 
 
+@pytest.mark.slow
 def test_dcn_dp_mesh_train_step():
     """(dcn=2, dp=4) mesh: the batch shards over BOTH axes and the jitted
     train step reduces gradients across them; loss must equal the plain

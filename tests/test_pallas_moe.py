@@ -123,6 +123,7 @@ def test_fused_top2_mlp_q8c_interpret_matches_bf16():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_int8_quant_collection_and_e2e_divergence():
     """use_int8_moe: init builds the "quant" collection, requantize matches,
     and the 10-step denoise diverges <1e-3 from the exact path."""

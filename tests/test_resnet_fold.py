@@ -82,6 +82,7 @@ def test_agent_embed_visual_obs_folded():
     (FiLMResNetPolicy, dict(depth=50)),
     (ResNetEncoderWithFiLM, dict(latent_dim=64)),
 ])
+@pytest.mark.slow
 def test_q8_encoder_close_to_folded(mod_kw):
     """int8 QuantConv path: approximate — feature output must track the
     folded float output closely (per-channel weights + dynamic per-tensor
@@ -109,6 +110,7 @@ def test_q8_encoder_close_to_folded(mod_kw):
     assert rel < 0.10, rel
 
 
+@pytest.mark.slow
 def test_agent_embed_visual_obs_q8():
     from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
                                                         MoDEAgentConfig)
@@ -143,6 +145,7 @@ def test_agent_embed_visual_obs_q8():
     assert rel2 < 0.10, rel2
 
 
+@pytest.mark.slow
 def test_q8_skip_stages_self_describing():
     """Partial quantization: skipped stages stay float in the param tree,
     infer_q8_skip recovers the skip set, and the agent path runs it."""

@@ -56,6 +56,7 @@ def test_task_tables_match_reference():
     assert ref.task_categories == ms.task_categories
 
 
+@pytest.mark.slow
 def test_chains_bit_exact_vs_reference():
     ref = load_reference_ms()
     r = ref.get_sequences(100, num_workers=1)

@@ -58,6 +58,7 @@ def _per_device_flops(agent, variables, cfg, dp: int, B: int) -> float:
     return float(ca["flops"])
 
 
+@pytest.mark.slow
 def test_dp_weak_scaling_inference(tiny):
     """Growing (dp, global batch) together keeps the per-device program
     constant: per-partition FLOPs at dp=2/4/8 with B=4*dp match dp=1 B=4
@@ -70,6 +71,7 @@ def test_dp_weak_scaling_inference(tiny):
         assert abs(per_dev - base) / base < 0.10, (dp, per_dev, base)
 
 
+@pytest.mark.slow
 def test_dp_strong_scaling_inference(tiny):
     """At fixed global batch 8, per-device FLOPs drop ~1/dp — i.e. GSPMD
     genuinely partitions the batched chunk instead of replicating it."""

@@ -85,6 +85,7 @@ def test_serving_mode_matches_reference(small_setup, mode, budget):
     assert mae <= budget, (mode, mae)
 
 
+@pytest.mark.slow
 def test_max_throughput_runs_finite(small_setup):
     """max-throughput (int8 encoders + int8 attention) is documented as
     over-budget; assert it executes and stays in the measured error range."""
@@ -116,6 +117,7 @@ def test_rollout_policy_with_serving_mode(small_setup):
     assert act.shape == (1, 7) and np.isfinite(act).all()
 
 
+@pytest.mark.slow
 def test_evaluate_cli_fake_env_parity_mode(tmp_path):
     """The full eval CLI on the fake env with --serving-mode parity: the
     productized fast path (VERDICT r2 #1) runs end-to-end and its actions

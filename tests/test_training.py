@@ -265,6 +265,7 @@ def test_stochastic_round_accumulates_sub_ulp_updates():
     assert rtn == 8.0  # round-to-nearest drops the update entirely
 
 
+@pytest.mark.slow
 def test_bf16_full_state_training_converges(tiny_setup):
     """Full-bf16 training state (params/moments/EMA bf16, stochastic-rounded
     updates — trainer.bf16_full_state): state dtypes are actually bf16, loss
@@ -352,6 +353,7 @@ def make_batch(cfg, B=8, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_mesh_train_step_8dev(tiny_setup):
     """Full train step jitted over the 8-virtual-device CPU mesh; sharded
     batch, replicated params, loss decreases over steps."""
@@ -390,6 +392,7 @@ def test_batch_actually_sharded(tiny_setup):
     assert shard_counts == {8}
 
 
+@pytest.mark.slow
 def test_zero1_optimizer_state_sharding(tiny_setup):
     """ZeRO-1: optimizer moments + EMA sharded over dp, params replicated;
     training remains numerically identical to the fully-replicated setup."""
@@ -426,6 +429,7 @@ def test_zero1_optimizer_state_sharding(tiny_setup):
     assert sharded_leaves, "no optimizer leaves actually sharded"
 
 
+@pytest.mark.slow
 def test_trainer_preemption_checkpoint(tiny_setup, tmp_path):
     """SIGTERM mid-epoch (TPU-pool preemption): the Trainer finishes the
     in-flight batch, checkpoints at the boundary, and returns; a fresh
@@ -461,6 +465,7 @@ def test_trainer_preemption_checkpoint(tiny_setup, tmp_path):
     assert t2.resumed and int(s2.step) == 3
 
 
+@pytest.mark.slow
 def test_bf16_state_checkpoint_resume(tiny_setup, tmp_path):
     """Orbax auto-resume round-trips the full-bf16 SR training state: a
     fresh Trainer pointed at the same log_dir restores bf16 dtypes and the
@@ -493,6 +498,7 @@ def test_bf16_state_checkpoint_resume(tiny_setup, tmp_path):
                                       np.asarray(b, np.float32))
 
 
+@pytest.mark.slow
 def test_zero1_sharding_with_bf16_sr_state(tiny_setup):
     """ZeRO-1 sharding composes with the full-bf16 stochastic-rounded state:
     the sharded step must be BIT-equal to the unsharded one (threefry bits
@@ -568,6 +574,7 @@ def test_jitted_val_step_matches_eager(tiny_setup, tmp_path):
         float(m_eager["val_act/lang_act_loss_pp"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_auto_layout_fit(tiny_setup, tmp_path):
     """trainer.auto_layout=true (the productized layout knob from
     conf/config_calvin.yaml) must train through the real Trainer.fit path —
@@ -605,6 +612,7 @@ def test_trainer_auto_layout_fit(tiny_setup, tmp_path):
                for x in jax.tree.leaves(state.params))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_numerics_gate():
     """The driver's dp x ep dryrun now asserts loss + grads of the sharded
     train step match the unsharded single-device step (VERDICT r2 #7); run
@@ -651,6 +659,7 @@ def test_mesh_batched_inference_sharded(tiny_setup):
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_jit_auto_layout_matches_default(tiny_setup):
     """jit_auto_layout (the AUTO-entry-layout train-loop compile that kills
     the expert-weight transpose copies, docs/PERF.md "train step") is a
