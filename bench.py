@@ -240,9 +240,15 @@ def main():
 
     if os.environ.get("BENCH_PROFILE"):
         trace_dir = os.environ["BENCH_PROFILE"]
-        with jax.profiler.trace(trace_dir):
-            np.asarray(repeat_n(variables, rgb_static, rgb_gripper, lang_emb,
-                                jax.random.PRNGKey(9), 2))
+        # python/host tracing OFF: the python tracer floods the 1M-event cap
+        # and the device op lane gets dropped (observed on the axon relay)
+        opts = jax.profiler.ProfileOptions()
+        opts.python_tracer_level = 0
+        opts.host_tracer_level = 1
+        jax.profiler.start_trace(trace_dir, profiler_options=opts)
+        np.asarray(repeat_n(variables, rgb_static, rgb_gripper, lang_emb,
+                            jax.random.PRNGKey(9), 2))
+        jax.profiler.stop_trace()
         log(f"profiler trace written to {trace_dir}")
 
     baseline = 625.0  # north star: 5k chunks/s on v5e-8 => 625 per chip

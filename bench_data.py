@@ -76,7 +76,8 @@ def main(argv=None):
     # warmup one epoch pass so prefetch threads and caches are hot
     got = 0
     it = dm.train_batches(epoch=0)
-    next(iter([next(it)]))
+    next(it)
+    it.close()   # release loader workers before starting the timed pass
 
     t0 = time.time()
     epoch = 1
@@ -85,12 +86,18 @@ def main(argv=None):
         try:
             batch = next(it)
         except StopIteration:
+            it.close()
             epoch += 1
             it = dm.train_batches(epoch=epoch)
             continue
         assert batch["rgb_static"].dtype.kind in "uif"
         got += 1
     dt = time.time() - t0
+    # abandoning a multi-worker iterator mid-epoch without close() leaves
+    # forked workers blocked on their full queue; interpreter shutdown then
+    # deadlocks in multiprocessing's atexit join (observed) — close runs the
+    # generator's finally, which terminates and joins the workers
+    it.close()
     sps = got * B / dt
     log(f"{got} batches of {B} in {dt:.2f}s")
     chips_fed = sps / 412.0   # measured flagship train step (docs/PERF.md)

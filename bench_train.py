@@ -71,9 +71,15 @@ def setup_flagship_train():
                                      image_hw=(IMG, IMG))
     log(f"init {time.time()-t0:.0f}s")
     bf16_state = os.environ.get("BENCH_BF16_STATE") == "1"
+    # SR noise source mirrors the Trainer's pick (threefry fuses into the
+    # update under auto-layout; hw RNG wins with default layouts);
+    # BENCH_SR_NOISE={hw,threefry} overrides for lever sweeps
+    sr_noise = os.environ.get(
+        "BENCH_SR_NOISE",
+        "threefry" if os.environ.get("BENCH_AUTO_LAYOUT") == "1" else "hw")
     optimizer, _ = make_optimizer(
         variables["params"], mu_dtype=jnp.bfloat16,
-        stochastic_round=bf16_state,
+        stochastic_round=bf16_state, sr_noise=sr_noise,
         nu_dtype=jnp.bfloat16 if bf16_state
         or os.environ.get("BENCH_NU_BF16") == "1" else None)
     state = TrainState.create(variables, optimizer, jax.random.PRNGKey(1),
@@ -83,47 +89,69 @@ def setup_flagship_train():
     step_fn = make_train_step(agent, optimizer, log_grad_norms=False)
 
     rng = np.random.default_rng(0)
-    ru8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
-    gu8 = jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3), np.uint8))
-    acts = jnp.asarray(rng.standard_normal((B, 10, 7)).astype(np.float32) * .3)
-    lang = jnp.asarray(rng.standard_normal((B, 1, 512)).astype(np.float32))
+    # the raw batch is an explicit jit ARGUMENT, not a closure capture:
+    # closed-over device arrays become HLO constants, which (a) bloats the
+    # program/compile-cache key by ~10 MB and (b) makes AOT lowering fetch
+    # them device->host (`mlir.ir_constant(val._value)`) — a round-trip that
+    # flaked twice on the axon relay (INVALID_ARGUMENT / RESOURCE_EXHAUSTED)
+    raw = {
+        "ru8": jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3),
+                                        np.uint8)),
+        "gu8": jnp.asarray(rng.integers(0, 255, (B, 1, IMG, IMG, 3),
+                                        np.uint8)),
+        "actions": jnp.asarray(
+            rng.standard_normal((B, 10, 7)).astype(np.float32) * .3),
+        "lang_emb": jnp.asarray(
+            rng.standard_normal((B, 1, 512)).astype(np.float32)),
+    }
 
-    def train_n_impl(state, n):
+    def train_n_impl(state, raw, n):
         def body(st, i):
             key = jax.random.fold_in(jax.random.PRNGKey(7), i)
             batch = {
-                "rgb_static": preprocess_camera(key, ru8, size=IMG,
+                "rgb_static": preprocess_camera(key, raw["ru8"], size=IMG,
                                                 shift_pad=10, train=True),
-                "rgb_gripper": preprocess_camera(key, gu8, size=IMG,
+                "rgb_gripper": preprocess_camera(key, raw["gu8"], size=IMG,
                                                  shift_pad=4, train=True),
-                "actions": acts, "lang_emb": lang,
+                "actions": raw["actions"], "lang_emb": raw["lang_emb"],
             }
             st, metrics = step_fn(st, batch)
             return st, metrics["train/total_loss"]
         return jax.lax.scan(body, state, jnp.arange(n))
 
-    return state, train_n_impl, B
+    return state, raw, train_n_impl, B
 
 
 def main():
     N = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
-    state, train_n_impl, B = setup_flagship_train()
+    state, raw, train_n_impl, B = setup_flagship_train()
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         # Let XLA choose entry layouts (kills the per-step expert-weight
         # transpose copies — docs/PERF.md "train step"). Compile one variant
         # per scan length used below; each call re-lays state as needed.
+        # The raw batch keeps its committed (default) layout: None in
+        # rest_shardings = leave that argument unconstrained.
         from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
         fn_by_n = {}
 
         def train_n(st, n):
             if n not in fn_by_n:
+                # later scan-length variants REUSE the first variant's
+                # XLA-chosen entry formats: same step body -> same preferred
+                # layouts, and the state never needs the (relay-flaky)
+                # layout-to-layout re-lay between variants
+                prev = next(iter(fn_by_n.values()), None)
                 fn_by_n[n], st = jit_auto_layout(
-                    train_n_impl, st, static_argnums=(1,), example_args=(n,))
-            return fn_by_n[n](st, n)
+                    train_n_impl, st, static_argnums=(2,),
+                    example_args=(raw, n), rest_shardings=(None,),
+                    reuse_formats=getattr(prev, "state_formats", None))
+            return fn_by_n[n](st, raw, n)
     else:
-        train_n = jax.jit(train_n_impl, static_argnums=(1,),
-                          donate_argnums=(0,))
+        jfn = jax.jit(train_n_impl, static_argnums=(2,), donate_argnums=(0,))
+
+        def train_n(st, n):
+            return jfn(st, raw, n)
         state = jax.device_put(state)
 
     if int(os.environ.get("BENCH_TRAIN_CONVERGE", "0")):

@@ -87,16 +87,32 @@ def analyze(trace_dir: str, n_steps: int):
         if (e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in e["args"].get("name", "")):
             pid = e["pid"]
-    ops = [e for e in data["traceEvents"]
-           if e.get("ph") == "X" and e.get("pid") == pid
-           and e.get("name") not in (None, "")
+    # category accounting uses ONLY the "XLA Ops" thread: the "XLA Modules"
+    # lane holds one enclosing event per executable that spans the whole
+    # step (including bubbles) and would otherwise land in "other" with a
+    # union equal to the wall (observed on the 2026-08-19 tt_r4 trace)
+    ops_tid = None
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e.get("pid") == pid
+                and e["args"].get("name") == "XLA Ops"):
+            ops_tid = e["tid"]
+    dev = [e for e in data["traceEvents"]
+           if e.get("ph") == "X" and e.get("pid") == pid and e.get("name")]
+    # drop enclosing control-flow spans (the lax.scan `while` covers the
+    # whole step and would make "other" == wall) but keep them in `dev`
+    # for the wall union
+    ops = [e for e in dev
+           if (e.get("tid") == ops_tid if ops_tid is not None
+               else True)
            and not e["name"].startswith(("jit_", "while"))]
     if not ops:
         log("no device op events (CPU backend traces lack an XLA Ops lane)")
         return
-    wall = _union_us([(e["ts"], e["ts"] + e["dur"]) for e in ops])
+    wall = _union_us([(e["ts"], e["ts"] + e["dur"]) for e in dev])
+    busy = _union_us([(e["ts"], e["ts"] + e["dur"]) for e in ops])
     print(f"per-step device wall: {wall / n_steps / 1e3:.2f} ms "
-          f"(N={n_steps} steps traced)")
+          f"(op-busy {busy / n_steps / 1e3:.2f} ms, N={n_steps} steps traced)")
     seen = set()
     rows = []
     for label, pat in _CATEGORIES:
@@ -141,23 +157,30 @@ def main():
 
     N = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/train_trace")
-    state, train_n, _ = setup_flagship_train()
+    state, raw, train_n, _ = setup_flagship_train()
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
-        fn, state = jit_auto_layout(train_n, state, static_argnums=(1,),
-                                    example_args=(N,))
+        fn, state = jit_auto_layout(train_n, state, static_argnums=(2,),
+                                    example_args=(raw, N),
+                                    rest_shardings=(None,))
     else:
-        fn = jax.jit(train_n, static_argnums=(1,), donate_argnums=(0,))
+        fn = jax.jit(train_n, static_argnums=(2,), donate_argnums=(0,))
         state = jax.device_put(state)
 
     t0 = time.time()
-    state, l = fn(state, N)
+    state, l = fn(state, raw, N)
     jax.block_until_ready(l)
     log(f"warm n={N} {time.time() - t0:.0f}s loss={np.asarray(l)[:2]}")
-    with jax.profiler.trace(trace_dir):
-        state, l = fn(state, N)
-        np.asarray(l)
+    # python/host tracing OFF: the python tracer can flood the 1M-event cap
+    # and drop the device op lane (observed on the axon relay)
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    opts.host_tracer_level = 1
+    jax.profiler.start_trace(trace_dir, profiler_options=opts)
+    state, l = fn(state, raw, N)
+    np.asarray(l)
+    jax.profiler.stop_trace()
     log(f"traced n={N} -> {trace_dir}")
     analyze(trace_dir, N)
 

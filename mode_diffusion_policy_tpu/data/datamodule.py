@@ -58,25 +58,48 @@ class _Prefetcher:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self._depth)
         DONE = object()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put that gives up when the consumer abandons the
+            # iterator — a plain q.put would block this thread forever,
+            # keeping the inner generator (and any fork-pool workers it
+            # manages) alive past interpreter shutdown (observed deadlock
+            # in multiprocessing's atexit join, bench_data 2026-08-19)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
+            gen = self._gen_fn()
             try:
-                for item in self._gen_fn():
-                    q.put(item)
-                q.put(DONE)
+                for item in gen:
+                    if not put(item):
+                        return
+                put(DONE)
             except BaseException as e:  # propagate loader failures to the
-                q.put(e)                # training loop instead of silently
+                put(e)                  # training loop instead of silently
                                         # ending the epoch early
+            finally:
+                gen.close()   # run the inner finally (terminates fork pool)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=10)
 
 
 class _ForkWorkerPool:

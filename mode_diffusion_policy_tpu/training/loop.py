@@ -117,10 +117,14 @@ def _relay_consuming(state, state_formats):
     fmts = treedef.flatten_up_to(state_formats)
     out = []
     for x, fmt in zip(flat, fmts):
+        if fmt is None:    # DCE'd arg: executable never reads it
+            out.append(x)
+            continue
         if not isinstance(x, jax.Array):
             out.append(jax.device_put(x, fmt))
             continue
-        if getattr(x, "format", None) == fmt:
+        if (_layout_of(x) == _layout_of_fmt(fmt)
+                and _sharding_matches(x, fmt)):
             out.append(x)
             continue
         try:
@@ -129,18 +133,139 @@ def _relay_consuming(state, state_formats):
         except Exception:
             # some backends reject certain on-device relayouts with
             # INVALID_ARGUMENT (observed on the axon v5e relay for a subset
-            # of XLA-chosen tiled formats); round-trip the leaf through the
-            # host like :func:`relayout_default` / ``_relay`` below
-            y = jax.device_put(np.asarray(x), fmt)
+            # of XLA-chosen tiled formats). Do NOT fall back through the
+            # host: fetching an XLA-chosen-layout array can itself raise
+            # INVALID_ARGUMENT there (observed). A compiled identity copy
+            # reads any committed layout and must honor its output layout.
+            y = _relayout_via_jit(x, fmt)
             y.block_until_ready()
+        want = _layout_of_fmt(fmt)
+        if want is not None and _layout_of(y) != want:
+            # the backend silently ignored the layout request (axon does for
+            # some tiled formats) — route the copy through a compiled
+            # identity, which must honor executable output layouts
+            y.delete()
+            y = _relayout_via_jit(x, fmt)
+            y.block_until_ready()
+            if _layout_of(y) != want:
+                raise RuntimeError(
+                    f"could not materialize requested layout: wanted "
+                    f"{want}, got {_layout_of(y)} for "
+                    f"shape {x.shape} {x.dtype}")
         x.delete()
         out.append(y)
     return jax.tree.unflatten(treedef, out)
 
 
+def _layout_of(x):
+    fmt = getattr(x, "format", None)
+    return None if fmt is None else fmt.layout
+
+
+def _layout_of_fmt(fmt):
+    return getattr(fmt, "layout", None)
+
+
+def _sharding_matches(x, fmt):
+    s = getattr(fmt, "sharding", None)
+    if s is None:
+        return True
+    try:
+        return x.sharding.is_equivalent_to(s, x.ndim)
+    except Exception:
+        return x.sharding == s
+
+
+def _identity(a):
+    return a
+
+
+_RELAYOUT_JITS = {}
+
+
+def _relayout_via_jit(x, fmt):
+    """Force ``x`` into ``fmt``'s layout through a compiled identity program.
+
+    Last-resort relayout: the axon v5e relay's ``device_put`` SILENTLY
+    ignores some layout requests (observed 2026-08-19: wanted
+    ``(0,1,2,3) tiling ((4,128),(2,1))`` for a ``[7,7,3,64]`` conv kernel,
+    got the backend-preferred ``(0,2,1,3) tiling ((8,128),(2,1))`` — even
+    when fed from a host buffer), which later kills the AOT call with an
+    opaque "compiled for input layouts that disagree" ValueError. XLA
+    itself CAN produce the layout (the auto-layout executable requires it
+    at entry), so route the copy through a jitted identity with the target
+    Format as ``out_shardings``. The jitted identity is memoized per
+    (shape, dtype, layout, sharding) — one tiny compile each, cached by the
+    persistent compilation cache across processes."""
+    from jax.experimental.layout import Format
+
+    sh = getattr(fmt, "sharding", None) or x.sharding
+    out_fmt = Format(fmt.layout, sh)
+    key = (x.shape, str(x.dtype), None, fmt.layout, sh)
+    jfn = _RELAYOUT_JITS.get(key)
+    if jfn is None:
+        jfn = jax.jit(_identity, out_shardings=out_fmt)
+        _RELAYOUT_JITS[key] = jfn
+    try:
+        return jfn(x)
+    except Exception:
+        # dispatch relayouts a default-entry program's inputs via transfer,
+        # which the backend rejects when x holds an XLA-chosen tiled layout
+        # — retry with the ENTRY format pinned to x's current layout (kept
+        # as the fallback only: pinned-entry identities were observed to
+        # have their OUTPUT layout silently canonicalized in some runs)
+        in_fmt = Format(_layout_of(x), x.sharding)
+        key2 = (x.shape, str(x.dtype), in_fmt.layout, fmt.layout, sh)
+        jfn2 = _RELAYOUT_JITS.get(key2)
+        if jfn2 is None:
+            jfn2 = jax.jit(_identity, in_shardings=in_fmt,
+                           out_shardings=out_fmt)
+            _RELAYOUT_JITS[key2] = jfn2
+        return jfn2(x)
+
+
+def _required_state_formats(compiled, state):
+    """The entry Formats the compiled EXECUTABLE actually requires for the
+    first (state) argument's leaves.
+
+    Works around a jax 0.9 ``Compiled.input_formats`` misalignment: when the
+    traced function carries hoisted constant args (``jaxpr_const_args`` —
+    e.g. trace-time ``PRNGKey``/table constants), the executable's
+    ``_xla_in_layouts`` is PREFIXED with one layout per const arg and
+    filtered to ``_kept_var_idx`` (pxla.py ``_maybe_get_and_prepend_const_
+    args``), but ``input_formats`` zips it against the user-arg leaves
+    unshifted — so every leaf is reported with a neighbor's layout and the
+    first call dies with an opaque "compiled for input layouts that
+    disagree" ValueError (observed on the flagship train step: 4 conv1
+    leaves, 2026-08-19). Reconstructs the correct per-leaf Format from the
+    executable's own bookkeeping; falls back to ``input_formats`` if the
+    internals move. DCE'd leaves get ``None`` (= leave the array as is; the
+    executable drops them before the layout check)."""
+    flat_state, state_treedef = jax.tree.flatten(state)
+    try:
+        ex = compiled._executable
+        params = getattr(compiled, "_params", None)
+        const_args = getattr(params, "const_args", None) or ()
+        nconst = len(const_args)
+        lay = ex._xla_in_layouts
+        sh = ex._in_shardings
+        pos = {k: j for j, k in enumerate(sorted(ex._kept_var_idx))}
+        from jax.experimental.layout import Format
+        fmts = []
+        for i in range(len(flat_state)):
+            j = pos.get(nconst + i)
+            fmts.append(None if j is None else Format(lay[j], sh[j]))
+    except Exception:
+        return compiled.input_formats[0][0]
+    # keep the treedef explicit: None entries are REAL leaves here (DCE'd
+    # args), so unflatten against the state treedef with a leaf list
+    return state_treedef.unflatten(fmts)
+
+
 def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
                     donate: bool = True, state_sharding=None,
-                    rest_shardings=None, out_shardings=None):
+                    rest_shardings=None, out_shardings=None,
+                    reuse_formats=None):
     """Compile ``fn(state, *example_args)`` letting XLA choose the ENTRY
     layouts for every array (``Layout.AUTO``), and re-lay ``state`` out to
     match.
@@ -160,8 +285,9 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     ``state``'s device buffers are CONSUMED by the re-lay (donation
     semantics, see :func:`_relay_consuming`) — use the returned state.
 
-    ``state_sharding`` (optional NamedSharding) pins the state's mesh
-    sharding while leaving its layout AUTO; ``rest_shardings`` (optional
+    ``state_sharding`` (optional NamedSharding, or a pytree of them matching
+    ``state`` — e.g. a dp×ep + ZeRO-1 sharded TrainState) pins the state's
+    mesh sharding while leaving its layout AUTO; ``rest_shardings`` (optional
     tuple, one entry per non-state dynamic arg) pins the remaining args to
     concrete shardings/default layouts — used by :class:`Trainer` so host
     batches keep arriving through the normal ``shard_batch`` path.
@@ -169,40 +295,86 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     concrete sharding for outputs that downstream EAGER code touches (e.g.
     metrics), since some backends reject eager ops on XLA-chosen tiled
     layouts (see :func:`relayout_default`).
+
+    ``reuse_formats`` (optional, the ``.state_formats`` attribute of a
+    previously returned compiled fn): pin this variant's ENTRY formats to
+    an earlier variant's XLA-chosen ones instead of asking AUTO again.
+    Used when compiling several variants of the same step body (different
+    scan lengths / batch shapes): the state then never needs re-laying
+    between variants — on the axon relay a layout-to-layout ``device_put``
+    of XLA-chosen tiled formats is flaky (INVALID_ARGUMENT) and a host
+    round-trip can't even fetch such arrays, so avoiding the relay
+    entirely is the robust path (and XLA's preferred layouts for the same
+    step body coincide anyway).
     """
     from jax.experimental.layout import Format, Layout
+    from jax.sharding import Sharding
 
-    auto = Format(Layout.AUTO) if state_sharding is None \
-        else Format(Layout.AUTO, state_sharding)
+    if reuse_formats is not None:
+        auto = jax.tree.map(
+            lambda f: Format(Layout.AUTO) if f is None else f, reuse_formats,
+            is_leaf=lambda x: x is None or isinstance(x, Format))
+    elif state_sharding is None:
+        auto = Format(Layout.AUTO)
+    elif isinstance(state_sharding, Sharding):
+        auto = Format(Layout.AUTO, state_sharding)
+    else:   # pytree of shardings, one per state leaf
+        auto = jax.tree.map(lambda s: Format(Layout.AUTO, s), state_sharding,
+                            is_leaf=lambda x: isinstance(x, Sharding))
     in_sh = auto if rest_shardings is None else (auto, *rest_shardings)
+    if reuse_formats is not None:
+        # donated concrete-layout inputs need matching output layouts (jit
+        # rejects concrete-in + AUTO-out donation); assumes fn returns
+        # ``(state, aux)`` — true of both call sites (train steps)
+        if out_shardings is None:
+            out_sh = (auto, Format(Layout.AUTO))
+        elif isinstance(out_shardings, tuple):
+            out_sh = (auto, *out_shardings[1:])
+        else:
+            out_sh = out_shardings
+    else:
+        out_sh = Format(Layout.AUTO) if out_shardings is None \
+            else out_shardings
     jf = jax.jit(fn, static_argnums=static_argnums,
                  donate_argnums=(0,) if donate else (),
                  in_shardings=in_sh,
-                 out_shardings=(Format(Layout.AUTO) if out_shardings is None
-                                else out_shardings))
+                 out_shardings=out_sh)
     # AUTO-layout args must be lowered as abstract shapes: a committed
     # jax.Array carries a concrete layout, which jit rejects against AUTO
     state_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         if isinstance(x, jax.Array) else x, state)
     compiled = jf.lower(state_shapes, *example_args).compile()
-    state_formats = compiled.input_formats[0][0]
+    state_formats = _required_state_formats(compiled, state)
     state = _relay_consuming(state, state_formats)
     static = set(static_argnums)
 
-    flat_formats, fmt_treedef = jax.tree.flatten(state_formats)
+    # None entries are real leaves (DCE'd args) — keep them in the flat list
+    flat_formats, fmt_treedef = jax.tree.flatten(
+        state_formats, is_leaf=lambda x: x is None)
 
     def _relay(x, fmt):
+        if fmt is None or not isinstance(x, jax.Array):
+            return x        # DCE'd arg — the executable never reads it
         # steady state (donated output feeding back in) already matches —
-        # compare formats instead of paying a device_put dispatch per leaf
-        if getattr(x, "format", None) == fmt:
+        # compare layout + sharding equivalence instead of paying a
+        # device_put dispatch per leaf (the executable-derived Format's
+        # sharding object need not be ``==`` to the array's)
+        want = _layout_of_fmt(fmt)
+        if _layout_of(x) == want and _sharding_matches(x, fmt):
             return x
         try:
-            return jax.device_put(x, fmt)
+            y = jax.device_put(x, fmt)
         except Exception:
-            # some backends reject certain on-device relayouts (see
-            # relayout_default); round-trip through the host
-            return jax.device_put(np.asarray(x), fmt)
+            # some backends reject certain on-device relayouts; a compiled
+            # identity copy reads any committed layout (a host round-trip
+            # would not: fetching XLA-chosen layouts can also fail there)
+            y = _relayout_via_jit(x, fmt)
+        if want is not None and _layout_of(y) != want:
+            # backend silently ignored the layout request — compiled
+            # identity copy as the honored fallback (see _relayout_via_jit)
+            y = _relayout_via_jit(x, fmt)
+        return y
 
     def call(st, *args):
         # AOT-compiled fns take only the dynamic args; keep the jit-style
@@ -216,6 +388,7 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
         dyn = [a for i, a in enumerate(args, start=1) if i not in static]
         return compiled(st, *dyn)
 
+    call.state_formats = state_formats   # for reuse_formats= on variants
     return call, state
 
 
@@ -229,23 +402,34 @@ def relayout_default(tree):
     handing e.g. ``state.ema_params`` to un-jitted eval/export code."""
     from jax.experimental.layout import Format, Layout
 
+    def _is_default(x, fmt):
+        # a layout can have the row-major major_to_minor but an EXOTIC
+        # TILING (XLA-chosen) — such arrays also fail eager use/dispatch
+        # transfers on the axon backend, so compare against the backend's
+        # true default layout (jax's own dispatch predicate)
+        try:
+            from jax._src.interpreters.pxla import is_default_layout
+            return is_default_layout(fmt.layout, fmt.sharding, x.aval)
+        except Exception:
+            return fmt.layout.major_to_minor == tuple(range(x.ndim))
+
     def relay(x):
         if not isinstance(x, jax.Array):
             return x
         default = tuple(range(x.ndim))
         fmt = getattr(x, "format", None)
-        if fmt is None or fmt.layout is None \
-                or fmt.layout.major_to_minor == default:
+        if fmt is None or fmt.layout is None or _is_default(x, fmt):
             return x
+        target = Format(Layout(major_to_minor=default), fmt.sharding)
         try:
-            return jax.device_put(x, Format(Layout(major_to_minor=default),
-                                            fmt.sharding))
+            return jax.device_put(x, target)
         except Exception:
             # some backend/format combinations reject an on-device relayout
-            # (axon raises INVALID_ARGUMENT for certain tiled layouts);
-            # round-trip through the host, which always yields the default
-            import numpy as np
-            return jax.device_put(np.asarray(x), fmt.sharding)
+            # (axon raises INVALID_ARGUMENT for certain tiled layouts), and
+            # a host round-trip is no escape: FETCHING an XLA-chosen-layout
+            # array can raise the same error there. A compiled identity
+            # copy reads any committed layout (see _relayout_via_jit).
+            return _relayout_via_jit(x, target)
 
     return jax.tree.map(relay, tree)
 
@@ -417,6 +601,11 @@ class Trainer:
         state_dtypes = {}
         if self.bf16_full_state:
             opt_kwargs.setdefault("stochastic_round", True)
+            # SR noise source: threefry fuses into the update pass and is
+            # the measured winner under XLA-chosen layouts; the hw RNG wins
+            # with default layouts (optim.stochastic_round_bf16 docstring)
+            opt_kwargs.setdefault(
+                "sr_noise", "threefry" if self.auto_layout else "hw")
             state_dtypes = dict(param_dtype=jnp.bfloat16,
                                 ema_dtype=jnp.bfloat16)
         self._optimizer, self._schedule = make_optimizer(
@@ -543,11 +732,18 @@ class Trainer:
                     if step_call is None:
                         from jax.experimental.layout import Format, Layout
                         rep = replicated(self.mesh)
+                        # variants after the first (e.g. a short final
+                        # batch) reuse its XLA-chosen entry formats so the
+                        # state never re-lays between them (relay-flaky on
+                        # the axon backend — see jit_auto_layout docstring)
+                        prev = next(iter(self._auto_steps.values()), None)
                         step_call, state = jit_auto_layout(
                             self._step_fn, state, example_args=(batch,),
                             state_sharding=rep,
                             rest_shardings=(self._batch_shardings,),
-                            out_shardings=(Format(Layout.AUTO), rep))
+                            out_shardings=(Format(Layout.AUTO), rep),
+                            reuse_formats=getattr(prev, "state_formats",
+                                                  None))
                         self._auto_steps[bkey] = step_call
                 else:
                     step_call = self._train_step

@@ -64,7 +64,8 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
-def stochastic_round_bf16(x32: jax.Array, key: jax.Array) -> jax.Array:
+def stochastic_round_bf16(x32: jax.Array, key: jax.Array,
+                          noise: str = "hw") -> jax.Array:
     """Round f32 -> bf16 stochastically: each value rounds to one of its two
     neighboring bf16 values with probability proportional to proximity, so
     E[round(x)] = x and tiny updates (|u| below half a bf16 ulp of p, which
@@ -77,20 +78,40 @@ def stochastic_round_bf16(x32: jax.Array, key: jax.Array) -> jax.Array:
     IEEE bit space, and sign-magnitude layout makes it unbiased for both
     signs. inf/NaN pass through unperturbed.
 
-    Noise comes from ``lax.rng_bit_generator`` with the backend-default
-    algorithm (the TPU hardware RNG), NOT threefry: generating 16 random
-    bits per parameter for a 739M-param flagship through counter-based
-    threefry costs more than the HBM traffic the bf16 storage saves (round-4
-    lever table, docs/PERF.md "train step"). SR noise needs uniformity, not
-    cross-backend reproducibility, so the backend-fastest generator is the
-    right default; runs are still deterministic per backend for a fixed key.
+    ``noise`` selects the 16-bit noise source (SR needs uniformity, not
+    cross-backend reproducibility; runs stay deterministic per backend for
+    a fixed key):
+
+    - ``"hw"``: ``lax.rng_bit_generator`` with the backend-default
+      algorithm (the TPU hardware RNG). Cheapest generation — with DEFAULT
+      layouts the 739M-param flagship measured 67.6 vs threefry's 76.4
+      ms/step — but it lowers as one un-fusable custom call per leaf
+      (528 calls, ~4 ms/step on the 2026-08-19 device trace) whose
+      default-layout outputs ALSO break the fused-optimizer megafusion
+      under XLA-chosen (``trainer.auto_layout``) entry layouts.
+    - ``"threefry"``: ``jax.random.bits`` — pure arithmetic XLA fuses into
+      the optimizer update pass; layout-agnostic. The right pick when
+      auto-layout is on (docs/PERF.md lever table).
+    - ``"threefry8"``: threefry generating ONE BYTE per parameter (4x less
+      RNG arithmetic than 32-bit threefry), expanded to 16 bits as
+      ``r8 * 257`` — uniform over the 257-strided lattice {0, 257, ...,
+      65535} with mean exactly 32767.5, so the rounding stays EXACTLY
+      unbiased, just with 256 probability levels instead of 65536 (far
+      more than SR needs; tests cover unbiasedness + sub-ulp
+      accumulation for every source).
     """
     x32 = x32.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
-    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    seed = jnp.tile(kd, 2)[:4]
-    _, rnd = jax.lax.rng_bit_generator(seed, x32.shape, dtype=jnp.uint32)
-    rnd = rnd & jnp.uint32(0xFFFF)
+    if noise == "threefry8":
+        r8 = jax.random.bits(key, x32.shape, jnp.uint8)
+        rnd = r8.astype(jnp.uint32) * jnp.uint32(257)
+    elif noise == "threefry":
+        rnd = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    else:
+        kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+        seed = jnp.tile(kd, 2)[:4]
+        _, rnd = jax.lax.rng_bit_generator(seed, x32.shape, dtype=jnp.uint32)
+        rnd = rnd & jnp.uint32(0xFFFF)
     rounded = jnp.where(jnp.isfinite(x32), bits + rnd, bits)
     return jax.lax.bitcast_convert_type(
         rounded & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
@@ -137,7 +158,8 @@ class FusedAdamWEma:
                  mask: Any = None, mu_dtype: Optional[Any] = None,
                  nu_dtype: Optional[Any] = None,
                  max_grad_norm: Optional[float] = None,
-                 stochastic_round: bool = False):
+                 stochastic_round: bool = False,
+                 sr_noise: str = "hw"):
         self.schedule = schedule
         self.b1, self.b2, self.eps = b1, b2, eps
         self.weight_decay = weight_decay
@@ -160,6 +182,10 @@ class FusedAdamWEma:
         # scale (tests/test_training.py) — gate on the flagship convergence
         # smoke before adopting for a run (docs/PERF.md "train step").
         self.stochastic_round = stochastic_round
+        # SR noise source — see :func:`stochastic_round_bf16`. "hw" wins
+        # with default layouts; "threefry" wins under trainer.auto_layout
+        # (it fuses into the update pass). The Trainer picks per-config.
+        self.sr_noise = sr_noise
         self.max_grad_norm = max_grad_norm
 
     def init(self, params):
@@ -195,6 +221,7 @@ class FusedAdamWEma:
         b1, b2, eps, wd = self.b1, self.b2, self.eps, self.weight_decay
         mu_dtype, nu_dtype = self.mu_dtype, self.nu_dtype
         sr = self.stochastic_round
+        sr_noise = self.sr_noise
 
         def leaf(g, p, mu, nu, e, decay_p, k=None):
             if clip is not None:
@@ -220,7 +247,7 @@ class FusedAdamWEma:
                 u = u + wd * p32
             u = (-lr) * u
             if sr and p.dtype == jnp.bfloat16:
-                p_new = stochastic_round_bf16(p32 + u, k)
+                p_new = stochastic_round_bf16(p32 + u, k, noise=sr_noise)
             else:
                 p_new = jnp.asarray(p32 + u).astype(p.dtype)
             mu_new = mu_f.astype(mu_dtype) if mu_dtype is not None else \
@@ -308,6 +335,7 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                    mu_dtype: Optional[Any] = None,
                    nu_dtype: Optional[Any] = None,
                    stochastic_round: bool = False,
+                   sr_noise: str = "hw",
                    fused: bool = True):
     """AdamW (or ADOPT) + tri-stage LR, masked weight decay. Returns
     (optimizer, schedule_fn). ``mu_dtype=jnp.bfloat16`` halves the
@@ -335,7 +363,7 @@ def make_optimizer(params, *, learning_rate: float = 1e-4,
                 schedule, b1=betas[0], b2=betas[1],
                 weight_decay=transformer_weight_decay, mask=mask,
                 mu_dtype=mu_dtype, nu_dtype=nu_dtype,
-                stochastic_round=stochastic_round,
+                stochastic_round=stochastic_round, sr_noise=sr_noise,
                 max_grad_norm=max_grad_norm), schedule
         opt = optax.adamw(schedule, b1=betas[0], b2=betas[1],
                           weight_decay=transformer_weight_decay, mask=mask,

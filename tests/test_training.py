@@ -209,15 +209,18 @@ def test_fused_adamw_nu_bf16_close_to_f32():
         make_optimizer(params, fused=False, nu_dtype=jnp.bfloat16, **kw)
 
 
-def test_stochastic_round_bf16_properties():
+@pytest.mark.parametrize("noise", ["hw", "threefry", "threefry8"])
+def test_stochastic_round_bf16_properties(noise):
     """stochastic_round_bf16 (the bf16-parameter write-back): unbiased in
-    expectation, exact on representable values, inf/NaN pass through."""
+    expectation, exact on representable values, inf/NaN pass through — for
+    both 16-bit noise sources (hw rng_bit_generator and fusable threefry)."""
     from mode_diffusion_policy_tpu.training.optim import stochastic_round_bf16
 
     # representable values round exactly under every key
     exact = jnp.asarray([0.0, 1.0, -2.5, 3.140625], jnp.float32)
     for seed in range(3):
-        out = stochastic_round_bf16(exact, jax.random.PRNGKey(seed))
+        out = stochastic_round_bf16(exact, jax.random.PRNGKey(seed),
+                                    noise=noise)
         np.testing.assert_array_equal(np.asarray(out, np.float32),
                                       np.asarray(exact))
     # a value strictly between two bf16 neighbors: mean over many draws
@@ -226,12 +229,13 @@ def test_stochastic_round_bf16_properties():
     hi = np.float32(np.nextafter(jnp.bfloat16(1.0), jnp.bfloat16(2.0),
                                  dtype=jnp.bfloat16))
     x = jnp.full((4096,), lo + 0.25 * (hi - lo), jnp.float32)
-    out = stochastic_round_bf16(x, jax.random.PRNGKey(7))
+    out = stochastic_round_bf16(x, jax.random.PRNGKey(7), noise=noise)
     frac_hi = float(np.mean(np.asarray(out, np.float32) == hi))
     assert abs(frac_hi - 0.25) < 0.05, frac_hi
     # inf/NaN unperturbed
     spec = jnp.asarray([np.inf, -np.inf, np.nan], jnp.float32)
-    out = np.asarray(stochastic_round_bf16(spec, jax.random.PRNGKey(0)),
+    out = np.asarray(stochastic_round_bf16(spec, jax.random.PRNGKey(0),
+                                           noise=noise),
                      np.float32)
     assert np.isposinf(out[0]) and np.isneginf(out[1]) and np.isnan(out[2])
 
