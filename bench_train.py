@@ -71,12 +71,10 @@ def setup_flagship_train():
                                      image_hw=(IMG, IMG))
     log(f"init {time.time()-t0:.0f}s")
     bf16_state = os.environ.get("BENCH_BF16_STATE") == "1"
-    # SR noise source mirrors the Trainer's pick (threefry fuses into the
-    # update under auto-layout; hw RNG wins with default layouts);
-    # BENCH_SR_NOISE={hw,threefry} overrides for lever sweeps
-    sr_noise = os.environ.get(
-        "BENCH_SR_NOISE",
-        "threefry" if os.environ.get("BENCH_AUTO_LAYOUT") == "1" else "hw")
+    # SR noise source mirrors the Trainer's pick (hw: separate cheap RNG
+    # pass keeps the fused update single-pass; inlined threefry splits it —
+    # docs/PERF.md); BENCH_SR_NOISE={hw,threefry,threefry8} for sweeps
+    sr_noise = os.environ.get("BENCH_SR_NOISE", "hw")
     optimizer, _ = make_optimizer(
         variables["params"], mu_dtype=jnp.bfloat16,
         stochastic_round=bf16_state, sr_noise=sr_noise,

@@ -103,7 +103,7 @@ def make_train_step(agent: MoDEAgent, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def _relay_consuming(state, state_formats):
+def _relay_consuming(state, state_formats, collect_failures=False):
     """Re-lay ``state`` to ``state_formats`` leaf by leaf, deleting each
     source buffer as soon as its copy lands.
 
@@ -112,11 +112,20 @@ def _relay_consuming(state, state_formats):
     guaranteed RESOURCE_EXHAUSTED on a 16 GB v5e chip (observed on the real
     backend; the CPU tests never see it). Peak overhead here is one leaf.
     The input state's device buffers are consumed (donation semantics) —
-    callers must use the returned tree, as both call sites do."""
+    callers must use the returned tree, as both call sites do.
+
+    ``collect_failures=True``: instead of raising when a leaf's requested
+    layout cannot be materialized (both ``device_put`` and the compiled
+    identity can be silently canonicalized by the axon backend, and WHICH
+    layouts stick varies run to run), keep that leaf untouched and return
+    ``(state, failed_leaf_indices)`` — :func:`jit_auto_layout` then
+    recompiles with those leaves pinned to their current (default) layout.
+    """
     flat, treedef = jax.tree.flatten(state)
     fmts = treedef.flatten_up_to(state_formats)
     out = []
-    for x, fmt in zip(flat, fmts):
+    failed = []
+    for i, (x, fmt) in enumerate(zip(flat, fmts)):
         if fmt is None:    # DCE'd arg: executable never reads it
             out.append(x)
             continue
@@ -128,33 +137,60 @@ def _relay_consuming(state, state_formats):
             out.append(x)
             continue
         try:
-            y = jax.device_put(x, fmt)
-            y.block_until_ready()
+            try:
+                y = jax.device_put(x, fmt)
+                y.block_until_ready()
+            except Exception:
+                # some backends reject certain on-device relayouts with
+                # INVALID_ARGUMENT (observed on the axon v5e relay for a
+                # subset of XLA-chosen tiled formats). Do NOT fall back
+                # through the host: fetching an XLA-chosen-layout array can
+                # itself raise INVALID_ARGUMENT there (observed). A
+                # compiled identity copy reads any committed layout and
+                # usually honors its output layout.
+                y = _relayout_via_jit(x, fmt)
+                y.block_until_ready()
         except Exception:
-            # some backends reject certain on-device relayouts with
-            # INVALID_ARGUMENT (observed on the axon v5e relay for a subset
-            # of XLA-chosen tiled formats). Do NOT fall back through the
-            # host: fetching an XLA-chosen-layout array can itself raise
-            # INVALID_ARGUMENT there (observed). A compiled identity copy
-            # reads any committed layout and must honor its output layout.
-            y = _relayout_via_jit(x, fmt)
-            y.block_until_ready()
+            if collect_failures:   # transient backend flake or hard
+                failed.append(i)   # rejection — keep the current layout,
+                out.append(x)      # the caller recompiles against it
+                continue
+            raise
         want = _layout_of_fmt(fmt)
         if want is not None and _layout_of(y) != want:
-            # the backend silently ignored the layout request (axon does for
-            # some tiled formats) — route the copy through a compiled
-            # identity, which must honor executable output layouts
-            y.delete()
-            y = _relayout_via_jit(x, fmt)
-            y.block_until_ready()
+            # the backend silently ignored the layout request — retry
+            # through a compiled identity (unpinned, then pinned entry).
+            # NB: a dishonoring device_put can return x ITSELF (treating
+            # the request as a no-op), so every delete below is guarded.
+            for pin in (False, True):
+                if y is not x:
+                    y.delete()
+                try:
+                    y = _relayout_via_jit(x, fmt, pin_entry=pin)
+                    y.block_until_ready()
+                except Exception:
+                    y = x  # keep something defined for the check below
+                    continue
+                if _layout_of(y) == want:
+                    break
             if _layout_of(y) != want:
+                if collect_failures:
+                    if y is not x:
+                        y.delete()
+                    failed.append(i)
+                    out.append(x)
+                    continue
                 raise RuntimeError(
                     f"could not materialize requested layout: wanted "
                     f"{want}, got {_layout_of(y)} for "
                     f"shape {x.shape} {x.dtype}")
-        x.delete()
+        if y is not x:
+            x.delete()
         out.append(y)
-    return jax.tree.unflatten(treedef, out)
+    result = jax.tree.unflatten(treedef, out)
+    if collect_failures:
+        return result, failed
+    return result
 
 
 def _layout_of(x):
@@ -183,7 +219,7 @@ def _identity(a):
 _RELAYOUT_JITS = {}
 
 
-def _relayout_via_jit(x, fmt):
+def _relayout_via_jit(x, fmt, pin_entry: bool = False):
     """Force ``x`` into ``fmt``'s layout through a compiled identity program.
 
     Last-resort relayout: the axon v5e relay's ``device_put`` SILENTLY
@@ -201,27 +237,25 @@ def _relayout_via_jit(x, fmt):
 
     sh = getattr(fmt, "sharding", None) or x.sharding
     out_fmt = Format(fmt.layout, sh)
-    key = (x.shape, str(x.dtype), None, fmt.layout, sh)
+    in_layout = _layout_of(x) if pin_entry else None
+    key = (x.shape, str(x.dtype), in_layout, fmt.layout, sh)
     jfn = _RELAYOUT_JITS.get(key)
     if jfn is None:
-        jfn = jax.jit(_identity, out_shardings=out_fmt)
+        jfn = jax.jit(_identity, out_shardings=out_fmt,
+                      **({"in_shardings": Format(in_layout, x.sharding)}
+                         if pin_entry else {}))
         _RELAYOUT_JITS[key] = jfn
     try:
         return jfn(x)
     except Exception:
+        if pin_entry:
+            raise
         # dispatch relayouts a default-entry program's inputs via transfer,
         # which the backend rejects when x holds an XLA-chosen tiled layout
-        # — retry with the ENTRY format pinned to x's current layout (kept
-        # as the fallback only: pinned-entry identities were observed to
-        # have their OUTPUT layout silently canonicalized in some runs)
-        in_fmt = Format(_layout_of(x), x.sharding)
-        key2 = (x.shape, str(x.dtype), in_fmt.layout, fmt.layout, sh)
-        jfn2 = _RELAYOUT_JITS.get(key2)
-        if jfn2 is None:
-            jfn2 = jax.jit(_identity, in_shardings=in_fmt,
-                           out_shardings=out_fmt)
-            _RELAYOUT_JITS[key2] = jfn2
-        return jfn2(x)
+        # — retry with the ENTRY format pinned to x's current layout (a
+        # fallback only: pinned-entry identities were observed to have
+        # their OUTPUT layout silently canonicalized in some runs)
+        return _relayout_via_jit(x, fmt, pin_entry=True)
 
 
 def _required_state_formats(compiled, state):
@@ -296,57 +330,95 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
     metrics), since some backends reject eager ops on XLA-chosen tiled
     layouts (see :func:`relayout_default`).
 
-    ``reuse_formats`` (optional, the ``.state_formats`` attribute of a
-    previously returned compiled fn): pin this variant's ENTRY formats to
-    an earlier variant's XLA-chosen ones instead of asking AUTO again.
-    Used when compiling several variants of the same step body (different
-    scan lengths / batch shapes): the state then never needs re-laying
-    between variants — on the axon relay a layout-to-layout ``device_put``
-    of XLA-chosen tiled formats is flaky (INVALID_ARGUMENT) and a host
-    round-trip can't even fetch such arrays, so avoiding the relay
-    entirely is the robust path (and XLA's preferred layouts for the same
-    step body coincide anyway).
+    ``reuse_formats`` (optional; pass a previous variant's
+    ``.state_formats`` or simply ``True``): compile this variant against
+    the CONCRETE state — entry layouts are exactly the layouts the state
+    already holds (the previous variant's), with nothing requested AUTO or
+    pinned. Used when compiling several variants of the same step body
+    (different scan lengths / batch shapes): the state then never needs
+    re-laying between variants. Explicit Format pinning is deliberately
+    avoided: the axon compiler treats requested layouts as suggestions and
+    can canonicalize the OUTPUT layout of a donated arg away from its
+    pinned input layout to a different BYTE SIZE (observed: f32[7,7,3,64]
+    T(8,128)=86016B in vs preferred T(4,128)=100352B out), which fails
+    aliasing with an opaque remote-compile HTTP 500.
     """
     from jax.experimental.layout import Format, Layout
     from jax.sharding import Sharding
 
-    if reuse_formats is not None:
-        auto = jax.tree.map(
-            lambda f: Format(Layout.AUTO) if f is None else f, reuse_formats,
-            is_leaf=lambda x: x is None or isinstance(x, Format))
-    elif state_sharding is None:
-        auto = Format(Layout.AUTO)
-    elif isinstance(state_sharding, Sharding):
-        auto = Format(Layout.AUTO, state_sharding)
-    else:   # pytree of shardings, one per state leaf
-        auto = jax.tree.map(lambda s: Format(Layout.AUTO, s), state_sharding,
-                            is_leaf=lambda x: isinstance(x, Sharding))
-    in_sh = auto if rest_shardings is None else (auto, *rest_shardings)
-    if reuse_formats is not None:
-        # donated concrete-layout inputs need matching output layouts (jit
-        # rejects concrete-in + AUTO-out donation); assumes fn returns
-        # ``(state, aux)`` — true of both call sites (train steps)
-        if out_shardings is None:
-            out_sh = (auto, Format(Layout.AUTO))
-        elif isinstance(out_shardings, tuple):
-            out_sh = (auto, *out_shardings[1:])
-        else:
-            out_sh = out_shardings
-    else:
-        out_sh = Format(Layout.AUTO) if out_shardings is None \
-            else out_shardings
-    jf = jax.jit(fn, static_argnums=static_argnums,
-                 donate_argnums=(0,) if donate else (),
-                 in_shardings=in_sh,
-                 out_shardings=out_sh)
     # AUTO-layout args must be lowered as abstract shapes: a committed
     # jax.Array carries a concrete layout, which jit rejects against AUTO
     state_shapes = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         if isinstance(x, jax.Array) else x, state)
-    compiled = jf.lower(state_shapes, *example_args).compile()
+
+    def _compile_concrete():
+        """Compile against the CONCRETE state: entry layouts = exactly the
+        layouts the state currently holds — callable by construction, and
+        no explicit Format requests for the compiler to canonicalize."""
+        in_sh = None if rest_shardings is None else (None, *rest_shardings)
+        if out_shardings is None:
+            out_sh = None
+        elif isinstance(out_shardings, tuple):
+            out_sh = (None, *out_shardings[1:])
+        else:
+            out_sh = out_shardings
+        jf = jax.jit(fn, static_argnums=static_argnums,
+                     donate_argnums=(0,) if donate else (),
+                     in_shardings=in_sh, out_shardings=out_sh)
+        return jf.lower(state, *example_args).compile()
+
+    if reuse_formats is not None:
+        # variant of an already-laid-out step: the state is already in the
+        # first variant's layouts — compile directly against it
+        compiled = _compile_concrete()
+    else:
+        if state_sharding is None:
+            auto = Format(Layout.AUTO)
+        elif isinstance(state_sharding, Sharding):
+            auto = Format(Layout.AUTO, state_sharding)
+        else:   # pytree of shardings, one per state leaf
+            auto = jax.tree.map(lambda s: Format(Layout.AUTO, s),
+                                state_sharding,
+                                is_leaf=lambda x: isinstance(x, Sharding))
+        in_sh = auto if rest_shardings is None else (auto, *rest_shardings)
+        jf = jax.jit(fn, static_argnums=static_argnums,
+                     donate_argnums=(0,) if donate else (),
+                     in_shardings=in_sh,
+                     out_shardings=(Format(Layout.AUTO)
+                                    if out_shardings is None
+                                    else out_shardings))
+        compiled = jf.lower(state_shapes, *example_args).compile()
     state_formats = _required_state_formats(compiled, state)
-    state = _relay_consuming(state, state_formats)
+    state, failed = _relay_consuming(state, state_formats,
+                                     collect_failures=True)
+    if failed:
+        # The backend could not materialize the XLA-chosen layout for these
+        # leaves (both device_put and the compiled-identity copy can be
+        # silently canonicalized — observed for e.g. f32[7,7,3,64] wanting
+        # tiling (4,128); WHICH layouts stick varies run to run). Recompile
+        # against the CONCRETE committed arrays with unspecified state
+        # shardings: the entry layouts are then exactly the layouts the
+        # state already HAS (mostly the chosen ones — the relay above moved
+        # every materializable leaf), so the executable is callable by
+        # construction; XLA transposes the few stuck leaves in-program.
+        # (Explicitly PINNING a mixed Format tree instead can crash the
+        # remote-compile service with HTTP 500 — observed 2026-08-19.)
+        logger.warning(
+            "auto-layout: %d leaf(s) kept their current layout (backend "
+            "would not materialize the chosen one); recompiling against "
+            "the concrete state", len(failed))
+        compiled = _compile_concrete()
+        state_formats = _required_state_formats(compiled, state)
+        state, failed = _relay_consuming(state, state_formats,
+                                         collect_failures=True)
+        if failed:
+            flat_st = jax.tree.leaves(state)
+            bad = [(flat_st[i].shape, str(flat_st[i].dtype)) for i in failed]
+            raise RuntimeError(
+                f"auto-layout: could not materialize entry layouts even "
+                f"when compiling against the concrete state; offending "
+                f"leaves: {bad}")
     static = set(static_argnums)
 
     # None entries are real leaves (DCE'd args) — keep them in the flat list
@@ -601,11 +673,12 @@ class Trainer:
         state_dtypes = {}
         if self.bf16_full_state:
             opt_kwargs.setdefault("stochastic_round", True)
-            # SR noise source: threefry fuses into the update pass and is
-            # the measured winner under XLA-chosen layouts; the hw RNG wins
-            # with default layouts (optim.stochastic_round_bf16 docstring)
-            opt_kwargs.setdefault(
-                "sr_noise", "threefry" if self.auto_layout else "hw")
+            # SR noise source: the hw RNG generates the noise in a separate
+            # cheap pass (~4 ms/step flagship) and leaves the fused update
+            # single-pass; INLINED threefry noise splits the 518 update
+            # fusions into extra HBM passes (+9 ms measured, device traces
+            # tt_r4/tt_r4c — docs/PERF.md "train step")
+            opt_kwargs.setdefault("sr_noise", "hw")
             state_dtypes = dict(param_dtype=jnp.bfloat16,
                                 ema_dtype=jnp.bfloat16)
         self._optimizer, self._schedule = make_optimizer(

@@ -82,23 +82,23 @@ def stochastic_round_bf16(x32: jax.Array, key: jax.Array,
     cross-backend reproducibility; runs stay deterministic per backend for
     a fixed key):
 
-    - ``"hw"``: ``lax.rng_bit_generator`` with the backend-default
-      algorithm (the TPU hardware RNG). Cheapest generation — with DEFAULT
-      layouts the 739M-param flagship measured 67.6 vs threefry's 76.4
-      ms/step — but it lowers as one un-fusable custom call per leaf
-      (528 calls, ~4 ms/step on the 2026-08-19 device trace) whose
-      default-layout outputs ALSO break the fused-optimizer megafusion
-      under XLA-chosen (``trainer.auto_layout``) entry layouts.
-    - ``"threefry"``: ``jax.random.bits`` — pure arithmetic XLA fuses into
-      the optimizer update pass; layout-agnostic. The right pick when
-      auto-layout is on (docs/PERF.md lever table).
+    - ``"hw"`` (default): ``lax.rng_bit_generator`` with the backend-default
+      algorithm (the TPU hardware RNG). Lowers as one custom call per leaf
+      (528 calls, ~4 ms/step flagship) that runs as a SEPARATE cheap pass
+      and leaves the fused optimizer update single-pass — the measured
+      winner (device traces tt_r4/tt_r4c, docs/PERF.md "train step").
+    - ``"threefry"``: ``jax.random.bits`` — pure arithmetic XLA INLINES
+      into the 518 per-leaf update fusions, which splits them into extra
+      HBM passes (+9 ms/step measured at flagship scale vs hw). Kept for
+      cross-backend reproducibility of the noise stream.
     - ``"threefry8"``: threefry generating ONE BYTE per parameter (4x less
       RNG arithmetic than 32-bit threefry), expanded to 16 bits as
       ``r8 * 257`` — uniform over the 257-strided lattice {0, 257, ...,
       65535} with mean exactly 32767.5, so the rounding stays EXACTLY
       unbiased, just with 256 probability levels instead of 65536 (far
-      more than SR needs; tests cover unbiasedness + sub-ulp
-      accumulation for every source).
+      more than SR needs; tests cover unbiasedness + sub-ulp accumulation
+      for every source). Same inlining penalty as ``"threefry"``: the
+      fusion split, not bit generation, dominates the threefry cost.
     """
     x32 = x32.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
