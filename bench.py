@@ -209,17 +209,14 @@ def main():
         f"(fixed call overhead ~{(t1-dt)*1000:.0f} ms)")
 
     # optional: p50 single-sample policy latency (BASELINE.json metric #2),
-    # measured the same way at B=1. Batch-1 serving keeps the UNFUSED
-    # attention: with a single kernel grid step the fused kernel's f32
-    # weight DMA cannot overlap compute (8.6 vs 6.5 ms measured), while at
-    # b=128 the fusion is a 6 ms/batch win — pick per deployment.
+    # measured the same way at B=1. Round 4: with the host weight precast
+    # the FUSED attention wins at batch 1 too (7.2 vs 8.8 ms — the round-2
+    # unfuse-at-batch-1 call was about f32 weight DMA, which the precast
+    # halves), so fused is now the default (BENCH_LAT_FUSED=0 reverts).
     if os.environ.get("BENCH_LATENCY", "1") == "1":
         import dataclasses
 
-        # BENCH_LAT_FUSED=1 keeps the fused attention kernel at b=1 —
-        # round 3's chunk-level bf16 weight pre-cast halves its per-step
-        # weight DMA (the round-2 reason to unfuse at batch 1)
-        lat_fused = os.environ.get("BENCH_LAT_FUSED", "0") == "1"
+        lat_fused = os.environ.get("BENCH_LAT_FUSED", "1") == "1"
         lat_agent = MoDEAgent(dataclasses.replace(
             cfg, use_pallas_attn=lat_fused, use_int8_attn=False))
         repeat_n_lat = make_repeat_n(lat_agent)

@@ -104,7 +104,16 @@ def setup_flagship_train():
     }
 
     def train_n_impl(state, raw, n):
-        def body(st, i):
+        """n steps; ``n`` is a DEVICE scalar (dynamic fori_loop trip count),
+        so every call — any n — runs ONE executable that feeds itself. On
+        the axon relay, XLA-chosen-layout arrays are only reliable inside a
+        single executable's donate-feedback loop: handing them to a second
+        executable (a different static scan length) flakes with
+        INVALID_ARGUMENT at execution, and every relayout path (device_put,
+        host round-trip, compiled identity) can be silently canonicalized
+        or rejected. Returns (state, (mean_loss, last_loss))."""
+        def body(i, carry):
+            st, s, _ = carry
             key = jax.random.fold_in(jax.random.PRNGKey(7), i)
             batch = {
                 "rgb_static": preprocess_camera(key, raw["ru8"], size=IMG,
@@ -114,8 +123,11 @@ def setup_flagship_train():
                 "actions": raw["actions"], "lang_emb": raw["lang_emb"],
             }
             st, metrics = step_fn(st, batch)
-            return st, metrics["train/total_loss"]
-        return jax.lax.scan(body, state, jnp.arange(n))
+            loss = metrics["train/total_loss"]
+            return st, s + loss, loss
+        state, s, last = jax.lax.fori_loop(
+            0, n, body, (state, jnp.float32(0), jnp.float32(0)))
+        return state, (s / jnp.maximum(n, 1).astype(jnp.float32), last)
 
     return state, raw, train_n_impl, B
 
@@ -126,30 +138,24 @@ def main():
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         # Let XLA choose entry layouts (kills the per-step expert-weight
-        # transpose copies — docs/PERF.md "train step"). Compile one variant
-        # per scan length used below; each call re-lays state as needed.
-        # The raw batch keeps its committed (default) layout: None in
-        # rest_shardings = leave that argument unconstrained.
+        # transpose copies — docs/PERF.md "train step"). ONE executable for
+        # every n (dynamic fori_loop count): the state's XLA-chosen-layout
+        # buffers only ever feed the program that produced them.
         from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
-        fn_by_n = {}
+        cell = {}
 
         def train_n(st, n):
-            if n not in fn_by_n:
-                # later scan-length variants REUSE the first variant's
-                # XLA-chosen entry formats: same step body -> same preferred
-                # layouts, and the state never needs the (relay-flaky)
-                # layout-to-layout re-lay between variants
-                prev = next(iter(fn_by_n.values()), None)
-                fn_by_n[n], st = jit_auto_layout(
-                    train_n_impl, st, static_argnums=(2,),
-                    example_args=(raw, n), rest_shardings=(None,),
-                    reuse_formats=getattr(prev, "state_formats", None))
-            return fn_by_n[n](st, raw, n)
+            if "fn" not in cell:
+                cell["fn"], st = jit_auto_layout(
+                    train_n_impl, st,
+                    example_args=(raw, jnp.int32(n)),
+                    rest_shardings=(None, None))
+            return cell["fn"](st, raw, jnp.int32(n))
     else:
-        jfn = jax.jit(train_n_impl, static_argnums=(2,), donate_argnums=(0,))
+        jfn = jax.jit(train_n_impl, donate_argnums=(0,))
 
         def train_n(st, n):
-            return jfn(st, raw, n)
+            return jfn(st, raw, jnp.int32(n))
         state = jax.device_put(state)
 
     if int(os.environ.get("BENCH_TRAIN_CONVERGE", "0")):
@@ -159,17 +165,16 @@ def main():
         # loss decrease with finite losses throughout.
         steps = int(os.environ["BENCH_TRAIN_CONVERGE"])
         chunk = 50
-        losses = []
+        means = []
         t0 = time.time()
         for c in range(steps // chunk):
-            state, l = train_n(state, chunk)
-            l = np.asarray(l)
-            assert np.isfinite(l).all(), f"non-finite loss in chunk {c}: {l}"
-            losses.append(l)
-            log(f"steps {c*chunk}-{(c+1)*chunk}: loss "
-                f"{l.mean():.4f} (min {l.min():.4f})")
-        losses = np.concatenate(losses)
-        first, last = losses[:chunk].mean(), losses[-chunk:].mean()
+            state, (mean, lastl) = train_n(state, chunk)
+            mean, lastl = float(np.asarray(mean)), float(np.asarray(lastl))
+            assert np.isfinite(mean) and np.isfinite(lastl), (c, mean, lastl)
+            means.append(mean)
+            log(f"steps {c*chunk}-{(c+1)*chunk}: mean loss "
+                f"{mean:.4f} (last {lastl:.4f})")
+        first, last = means[0], means[-1]
         print(f"convergence: {steps} steps in {time.time()-t0:.0f}s, "
               f"loss {first:.4f} -> {last:.4f} "
               f"({'OK' if last < 0.7 * first else 'NO DECREASE'})")
@@ -177,23 +182,23 @@ def main():
         return
 
     t0 = time.time()
-    state, l1 = train_n(state, 1)
-    log(f"n=1 compile+run {time.time()-t0:.0f}s loss={np.asarray(l1)}")
+    state, (m1, _) = train_n(state, 1)
+    log(f"n=1 compile+run {time.time()-t0:.0f}s loss={float(np.asarray(m1)):.6f}")
     t0 = time.time()
-    state, lN = train_n(state, N)
-    np.asarray(lN)
-    log(f"n={N} compile+run {time.time()-t0:.0f}s")
+    state, (mN, _) = train_n(state, N)
+    np.asarray(mN)
+    log(f"n={N} run {time.time()-t0:.0f}s")
     t0 = time.time()
     state, l = train_n(state, 1)
-    np.asarray(l)
+    np.asarray(l[0])
     t1 = time.time() - t0
     t0 = time.time()
     state, l = train_n(state, N)
-    l = np.asarray(l)
+    mean, last = (float(np.asarray(v)) for v in l)
     tN = time.time() - t0
     per = (tN - t1) / (N - 1)
     print(f"train step: {per*1000:.1f} ms @ b={B} -> "
-          f"{B/per:.0f} samples/s/chip; losses {l[:3]}")
+          f"{B/per:.0f} samples/s/chip; loss mean={mean:.4f} last={last:.4f}")
 
 
 if __name__ == "__main__":

@@ -155,31 +155,34 @@ def main():
     # env knobs) so the trace profiles exactly the program the bench times
     from bench_train import setup_flagship_train
 
+    import jax.numpy as jnp
+
     N = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
     trace_dir = os.environ.get("TRACE_DIR", "/tmp/train_trace")
     state, raw, train_n, _ = setup_flagship_train()
 
     if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
         from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
-        fn, state = jit_auto_layout(train_n, state, static_argnums=(2,),
-                                    example_args=(raw, N),
-                                    rest_shardings=(None,))
+        fn, state = jit_auto_layout(train_n, state,
+                                    example_args=(raw, jnp.int32(N)),
+                                    rest_shardings=(None, None))
     else:
-        fn = jax.jit(train_n, static_argnums=(2,), donate_argnums=(0,))
+        fn = jax.jit(train_n, donate_argnums=(0,))
         state = jax.device_put(state)
 
     t0 = time.time()
-    state, l = fn(state, raw, N)
+    state, l = fn(state, raw, jnp.int32(N))
     jax.block_until_ready(l)
-    log(f"warm n={N} {time.time() - t0:.0f}s loss={np.asarray(l)[:2]}")
+    log(f"warm n={N} {time.time() - t0:.0f}s mean loss="
+        f"{float(np.asarray(l[0])):.4f}")
     # python/host tracing OFF: the python tracer can flood the 1M-event cap
     # and drop the device op lane (observed on the axon relay)
     opts = jax.profiler.ProfileOptions()
     opts.python_tracer_level = 0
     opts.host_tracer_level = 1
     jax.profiler.start_trace(trace_dir, profiler_options=opts)
-    state, l = fn(state, raw, N)
-    np.asarray(l)
+    state, l = fn(state, raw, jnp.int32(N))
+    np.asarray(l[0])
     jax.profiler.stop_trace()
     log(f"traced n={N} -> {trace_dir}")
     analyze(trace_dir, N)

@@ -20,9 +20,11 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
                       projections: 1947 chunks/s, action MAE ~6e-3 — over
                       the parity budget; validate on your checkpoint's task
                       metric before serving.
-- ``b1-latency``      int8 MoE + folded bf16 encoders, UNFUSED attention
-                      (single-grid-step weight DMA cannot overlap compute at
-                      batch 1): ~6.5-8 ms per 10-step chunk.
+- ``b1-latency``      int8 MoE + folded bf16 encoders + fused attention on
+                      bf16-precast weights (round 4: the precast halves the
+                      kernel's per-step weight DMA, flipping the round-2
+                      unfuse-at-batch-1 call): 7.2 ms per 10-step chunk
+                      measured, 7.1 with ``sampler_unroll=10``.
 - ``auto``            ``parity`` on TPU, ``reference`` elsewhere (off-TPU
                       the Pallas kernels run in interpret mode — correct but
                       slow, for tests/debug only).
@@ -79,7 +81,12 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
 
     flags = dict(use_pallas_moe=top2, use_int8_moe=top2)
     if mode == "b1-latency":
-        flags.update(use_pallas_attn=False, use_int8_attn=False)
+        # round 4: with the serving-time bf16 weight precast
+        # (RolloutPolicy / precast_for_serving) the fused attention kernel's
+        # per-step weight DMA halves and it WINS at batch 1 (7.2 vs 8.8 ms
+        # measured — docs/PERF.md "b=1 latency"); int8 attention stays off
+        # (parity) and int8 encoders stay off (quant overhead loses at b=1)
+        flags.update(use_pallas_attn=fusable_attn, use_int8_attn=False)
     else:
         flags.update(use_pallas_attn=fusable_attn,
                      use_int8_attn=(mode == "max-throughput" and fusable_attn))

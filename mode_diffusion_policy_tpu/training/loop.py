@@ -806,21 +806,45 @@ class Trainer:
                         from jax.experimental.layout import Format, Layout
                         rep = replicated(self.mesh)
                         # variants after the first (e.g. a short final
-                        # batch) reuse its XLA-chosen entry formats so the
-                        # state never re-lays between them (relay-flaky on
-                        # the axon backend — see jit_auto_layout docstring)
+                        # batch) compile against the state's current
+                        # layouts so it never re-lays between them
+                        # (relay-fragile — see jit_auto_layout docstring)
                         prev = next(iter(self._auto_steps.values()), None)
                         step_call, state = jit_auto_layout(
                             self._step_fn, state, example_args=(batch,),
                             state_sharding=rep,
                             rest_shardings=(self._batch_shardings,),
                             out_shardings=(Format(Layout.AUTO), rep),
-                            reuse_formats=getattr(prev, "state_formats",
-                                                  None))
+                            reuse_formats=(prev is not None) or None)
                         self._auto_steps[bkey] = step_call
                 else:
                     step_call = self._train_step
-                state, metrics = step_call(state, batch)
+                try:
+                    state, metrics = step_call(state, batch)
+                except Exception:
+                    if not self.auto_layout or self._train_step is not None:
+                        raise
+                    # auto-layout resilience: some backends mishandle
+                    # XLA-chosen layouts outside the executable that made
+                    # them (relayout and even execution can raise opaque
+                    # INVALID_ARGUMENT — observed on the axon relay).
+                    # Relaying DEFAULT-ward is always materializable, so
+                    # fall back to the plain-jit step and keep training.
+                    logger.warning(
+                        "auto-layout step failed on this backend; falling "
+                        "back to default layouts for the rest of the run",
+                        exc_info=True)
+                    self.auto_layout = False
+                    self._auto_steps = {}
+                    state = relayout_default(state)
+                    rep = replicated(self.mesh)
+                    self._train_step = jax.jit(
+                        self._step_fn,
+                        in_shardings=(rep, self._batch_shardings),
+                        out_shardings=(rep, rep),
+                        donate_argnums=(0,))
+                    step_call = self._train_step
+                    state, metrics = step_call(state, batch)
                 n += 1
                 if "expert_counts" in metrics:
                     ec = metrics["expert_counts"]

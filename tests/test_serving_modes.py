@@ -75,9 +75,12 @@ def test_serving_mode_matches_reference(small_setup, mode, budget):
     ref = _chunk(agent, variables, batch, key)
 
     fast_agent, fast_vars = apply_serving_mode(agent, variables, mode)
-    # the preset actually enabled the kernels (not a silent fallback)
+    # the preset actually enabled the kernels (not a silent fallback);
+    # round 4: b1-latency uses the fused attention too (host precast
+    # halves its per-step weight DMA — serving.py preset table)
     assert fast_agent.cfg.use_int8_moe and fast_agent.cfg.use_pallas_moe
-    assert fast_agent.cfg.use_pallas_attn == (mode == "parity")
+    assert fast_agent.cfg.use_pallas_attn
+    assert not fast_agent.cfg.use_int8_attn
     assert "quant" in fast_vars and "folded_params" in fast_vars
     out = _chunk(fast_agent, fast_vars, batch, key)
     mae = np.abs(out - ref).mean()
