@@ -14,6 +14,13 @@ test-fast: ext
 bench:
 	python bench.py
 
+# Refresh the committed persistent compile cache (.jax_cache/) so the
+# driver's end-of-round bench run warm-starts instead of paying minutes of
+# remote first-compile. Run on the real chip after any change to the benched
+# program, then commit the new/changed .jax_cache blobs.
+bench-cache:
+	rm -rf .jax_cache && python bench.py && du -sh .jax_cache
+
 bench-train:
 	python bench_train.py
 
