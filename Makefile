@@ -17,9 +17,20 @@ bench:
 # Refresh the committed persistent compile cache (.jax_cache/) so the
 # driver's end-of-round bench run warm-starts instead of paying minutes of
 # remote first-compile. Run on the real chip after any change to the benched
-# program, then commit the new/changed .jax_cache blobs.
+# program, then `git add -f` the new blobs (the dir is gitignored so CPU
+# test runs don't dirty the tree) and commit. No rm -rf: that would drop the
+# entry()/dryrun blobs __graft_entry__.py relies on (advisor r4); stale
+# blobs are harmless (cache is keyed by HLO) and pruned via bench-cache-gc.
 bench-cache:
-	rm -rf .jax_cache && python bench.py && du -sh .jax_cache
+	python bench.py && python __graft_entry__.py && du -sh .jax_cache
+	git add -f .jax_cache
+
+# Drop cache blobs no current program produces: full reset, then regenerate
+# every driver-run program (bench + train bench + entry/dryrun) on the chip.
+bench-cache-gc:
+	rm -rf .jax_cache
+	python bench.py && python bench_train.py && python __graft_entry__.py
+	du -sh .jax_cache && git add -f .jax_cache
 
 bench-train:
 	python bench_train.py

@@ -13,15 +13,22 @@ moment + bf16 EMA storage. On a multi-chip mesh, prefer ZeRO-1 sharding
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 
-os.makedirs(os.path.expanduser("~/.cache/jax_mode_tpu"), exist_ok=True)
+# Same repo-local persistent compile cache as bench.py (advisor r4: the
+# ~/.cache dir is wiped between rounds, so every queued train run paid the
+# full remote first-compile inside its timeout budget).
+_CACHE_DIR = os.environ.get("JAX_MODE_CACHE_DIR",
+                            os.path.join(os.path.dirname(
+                                os.path.abspath(__file__)), ".jax_cache"))
+os.makedirs(_CACHE_DIR, exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_mode_tpu"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -199,6 +206,17 @@ def main():
     per = (tN - t1) / (N - 1)
     print(f"train step: {per*1000:.1f} ms @ b={B} -> "
           f"{B/per:.0f} samples/s/chip; loss mean={mean:.4f} last={last:.4f}")
+    # machine-readable result line (harvested into BENCH_TRAIN_r*.json by
+    # the queue scripts so train perf is a committed, driver-checkable record)
+    knobs = {k: os.environ[k] for k in sorted(os.environ)
+             if k.startswith("BENCH_") and k != "BENCH_PROFILE"}
+    print(json.dumps({
+        "metric": "flagship train step (739M params, b=%d, aug+2xRN50 remat"
+                  "+EDM loss+AdamW+EMA)" % B,
+        "value": round(per * 1000, 2), "unit": "ms/step",
+        "samples_per_s_chip": round(B / per, 1),
+        "loss_mean": round(mean, 4), "knobs": knobs,
+    }))
 
 
 if __name__ == "__main__":
