@@ -78,6 +78,16 @@ class BaseCalvinDataset:
         self._rng = np.random.default_rng(seed)
         self._hasher = fnv1_32()
 
+    # -- pickling (spawn/forkserver loader workers) ------------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_hasher", None)   # C-extension callable: rebuilt on load
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._hasher = fnv1_32()
+
     # -- indexing ---------------------------------------------------------
     def __len__(self) -> int:
         return len(self.episode_lookup)
@@ -185,6 +195,15 @@ class BaseCalvinDataset:
         return info
 
 
+def _load_pkl(p):
+    with open(p, "rb") as f:
+        return pickle.load(f)
+
+
+def _load_npz(p):
+    return np.load(p, allow_pickle=True)
+
+
 class DiskDataset(BaseCalvinDataset):
     """npz/pkl-per-frame loader (disk_dataset.py:29-160). Pass ``shm_cache``
     (a data.shm_cache.SharedEpisodeCache) to serve frames zero-copy from
@@ -197,9 +216,9 @@ class DiskDataset(BaseCalvinDataset):
         self.save_format = save_format
         self.shm_cache = shm_cache
         if save_format == "pkl":
-            self.load_file = lambda p: pickle.load(open(p, "rb"))
+            self.load_file = _load_pkl
         elif save_format == "npz":
-            self.load_file = lambda p: np.load(p, allow_pickle=True)
+            self.load_file = _load_npz
         else:
             raise NotImplementedError(save_format)
         self.pretrain = pretrain

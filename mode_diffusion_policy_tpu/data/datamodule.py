@@ -11,6 +11,7 @@ LangEmbeddingCache, and images stay uint8 until the on-device transform graph
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from pathlib import Path
@@ -102,20 +103,44 @@ class _Prefetcher:
             t.join(timeout=10)
 
 
-class _ForkWorkerPool:
+def _pool_worker(dataset, wid, num_workers, chunks, q):
+    """Assemble every batch with ``batch_idx % num_workers == wid`` in
+    order and ship ``("batch", idx, batch)`` over this worker's own bounded
+    queue. Runs in a spawn/forkserver child: only numpy work happens here;
+    anything jax-flavored (the language embedder) runs in the parent."""
+    try:
+        for bi in range(wid, len(chunks), num_workers):
+            items = [dataset[int(j)] for j in chunks[bi]]
+            q.put(("batch", bi, collate_episodes(items, lang_embed=None)))
+    except BaseException as e:  # surfaced by the parent as RuntimeError
+        try:
+            q.put(("error", wid, repr(e)))
+        except Exception:
+            pass
+
+
+class _WorkerPool:
     """Multi-process batch assembly over the (shared-memory backed) dataset —
     the host-side analog of the reference's 12-worker DataLoaders
     (/root/reference/mode/datasets/hulc_data_module.py:100-116 +
     shared_memory_utils.py:174-186, 8-proc loader).
 
-    Workers are ``fork``ed so they inherit the dataset object and its
-    attached shm segments copy-on-write (no pickling, no re-import of jax —
-    children touch ONLY numpy; anything jax-flavored like the language
-    embedder runs in the parent). Worker ``w`` assembles every batch with
-    ``batch_idx % num_workers == w`` and ships ``(batch_idx, batch)`` back
-    over an mp.Queue; the parent reorders through a small buffer so the
-    emitted stream is bit-identical to the single-process iterator
-    (tests/test_data_calvin.py::test_multiworker_batches_deterministic)."""
+    Workers are started via the ``forkserver`` context (override with
+    MODE_TPU_MP_CONTEXT=spawn): bare ``fork()`` of the jax-initialized
+    (multithreaded) parent is only usually-lucky, and jax itself warns on it
+    (VERDICT r4). The dataset is pickled to each child; shm segments
+    re-attach by name (SharedEpisodeCache.__setstate__) so frame data is
+    still zero-copy shared.
+
+    Ordering and memory: worker ``w`` owns batches ``w, w+W, w+2W, ...`` and
+    its OWN queue bounded at 2 entries, and the parent reads queue
+    ``bi % W`` for batch ``bi`` — so the stream is bit-identical to the
+    single-process iterator with NO parent-side reorder buffer (a fast
+    worker blocks after 2 undelivered batches instead of ballooning parent
+    memory; the r4 design's shared queue + unbounded reorder dict could).
+    See tests/test_data_calvin.py::test_multiworker_batches_deterministic."""
+
+    QUEUE_DEPTH = 2   # per-worker in-flight bound => parent holds <= 1 batch
 
     def __init__(self, dataset, indices, batch_size: int, num_workers: int,
                  drop_last: bool = True):
@@ -135,59 +160,74 @@ class _ForkWorkerPool:
             out.append(c)
         return out
 
-    def _worker(self, wid, chunks, q):
-        try:
-            for bi in range(wid, len(chunks), self.num_workers):
-                items = [self.dataset[int(j)] for j in chunks[bi]]
-                q.put((bi, collate_episodes(items, lang_embed=None)))
-            q.put(("done", wid))
-        except BaseException as e:
-            q.put(("error", repr(e)))
-
     def __iter__(self):
         import multiprocessing as mp
-        ctx = mp.get_context("fork")
+        method = os.environ.get("MODE_TPU_MP_CONTEXT", "forkserver")
+        ctx = mp.get_context(method)
         chunks = self._chunks()
-        # depth bound: at most 2 in-flight batches per worker beyond the
-        # reorder point keeps memory flat when one worker runs ahead
-        q = ctx.Queue(maxsize=2 * self.num_workers)
-        procs = [ctx.Process(target=self._worker, args=(w, chunks, q),
-                             daemon=True)
-                 for w in range(self.num_workers)]
-        for p in procs:
-            p.start()
+        if not chunks:
+            return
+        W = min(self.num_workers, len(chunks))
+        qs = [ctx.Queue(maxsize=self.QUEUE_DEPTH) for _ in range(W)]
+        procs = []
+        # children (and the forkserver server they fork from) must never
+        # touch the TPU relay: they do numpy-only work, and an accidental
+        # axon PJRT registration in the server could contend for the chip
+        # grant. The server inherits os.environ at first Process start.
+        scrub = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+        saved = {k: os.environ.get(k) for k in scrub}
         try:
-            buf: Dict[int, Dict] = {}
-            nxt, done = 0, 0
-            while nxt < len(chunks):
-                if nxt in buf:
-                    yield buf.pop(nxt)
-                    nxt += 1
-                    continue
-                if done == self.num_workers:
-                    raise RuntimeError(
-                        f"loader workers exited early: batch {nxt} of "
-                        f"{len(chunks)} never arrived")
-                tag, payload = q.get()
+            os.environ.update(scrub)
+            try:
+                for w in range(W):
+                    p = ctx.Process(target=_pool_worker,
+                                    args=(self.dataset, w, W, chunks, qs[w]),
+                                    daemon=True)
+                    p.start()
+                    procs.append(p)
+            except Exception as e:
+                # e.g. an unpicklable dataset under spawn/forkserver
+                raise RuntimeError(
+                    f"loader worker failed to start: {e!r}") from e
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+            for bi in range(len(chunks)):
+                q = qs[bi % W]
+                while True:
+                    try:
+                        tag, wid, payload = q.get(timeout=0.5)
+                        break
+                    except queue.Empty:
+                        if not procs[bi % W].is_alive():
+                            try:   # batch may have landed just before exit
+                                tag, wid, payload = q.get(timeout=0.5)
+                                break
+                            except queue.Empty:
+                                raise RuntimeError(
+                                    f"loader workers exited early: batch "
+                                    f"{bi} of {len(chunks)} never arrived")
                 if tag == "error":
                     raise RuntimeError(f"loader worker failed: {payload}")
-                if tag == "done":
-                    done += 1
-                    continue
-                buf[tag] = payload
+                assert tag == "batch" and wid == bi, (tag, wid, bi)
+                yield payload
         finally:
             for p in procs:
                 if p.is_alive():
                     p.terminate()
                 p.join(timeout=5)
-            q.close()
+            for q in qs:
+                q.close()
 
 
 class CalvinDataModule:
     """Builds train/val ExtendedDiskDatasets and batch iterators
     (reference HulcDataModule.setup/train_dataloader,
-    hulc_data_module.py:77-160). ``num_workers >= 1`` forks that many batch
-    assembly processes over the shm cache (see :class:`_ForkWorkerPool`);
+    hulc_data_module.py:77-160). ``num_workers >= 1`` starts that many batch
+    assembly processes over the shm cache (see :class:`_WorkerPool`);
     0 assembles inline under the prefetch thread."""
 
     def __init__(self, root_data_dir: str, *, batch_size: int = 32,
@@ -265,10 +305,10 @@ class CalvinDataModule:
             np.random.default_rng(self.seed + epoch_seed).shuffle(indices)
         bs = self.batch_size
         if self.num_workers >= 1:
-            # fork-pool assembly; the (possibly jax-backed) language embedder
-            # must run here in the parent, never in a forked child
-            for batch in _ForkWorkerPool(dataset, indices, bs,
-                                         self.num_workers, drop_last):
+            # worker-pool assembly; the (possibly jax-backed) language
+            # embedder must run here in the parent, never in a child
+            for batch in _WorkerPool(dataset, indices, bs,
+                                     self.num_workers, drop_last):
                 if self.lang_embed is not None:
                     batch["lang_emb"] = np.asarray(
                         self.lang_embed(batch["lang_text"]), np.float32)

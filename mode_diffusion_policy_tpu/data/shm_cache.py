@@ -97,6 +97,21 @@ class SharedEpisodeCache:
                 name=meta["segment"])
         return self
 
+    # -- pickling (spawn/forkserver loader workers) ------------------------
+    def __getstate__(self):
+        # Workers re-attach by segment name; SharedMemory handles and the
+        # unlink duty (ownership) never cross process boundaries.
+        return {"tag": self.tag, "lookup": self.lookup}
+
+    def __setstate__(self, state):
+        self.tag = state["tag"]
+        self.lookup = state["lookup"]
+        self._owner = False
+        self._segments = {}
+        for key, meta in self.lookup["keys"].items():
+            self._segments[key] = shared_memory.SharedMemory(
+                name=meta["segment"])
+
     # -- access -----------------------------------------------------------
     def array(self, key: str) -> np.ndarray:
         meta = self.lookup["keys"][key]

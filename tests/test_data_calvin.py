@@ -204,17 +204,110 @@ def test_multiworker_batches_deterministic(calvin_root):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_multiworker_over_shm_cache(calvin_root):
+    """Workers re-attach the shm segments by name on unpickle
+    (SharedEpisodeCache.__setstate__); the multi-process stream over the
+    cache must be bit-identical to the inline npz-backed stream."""
+    dm = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                          use_shm_cache=True, num_workers=2).setup()
+    try:
+        dm0 = CalvinDataModule(calvin_root, batch_size=4,
+                               act_seq_len=10).setup()
+        ref = list(dm0.train_batches(epoch=1))
+        got = list(dm.train_batches(epoch=1))
+        assert len(ref) == len(got) > 0
+        for a, b in zip(ref, got):
+            for k in ("rgb_static", "rgb_gripper", "actions", "robot_obs"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    finally:
+        for c in dm._shm_caches:
+            c.cleanup()
+
+
+class _Boom:
+    """Module-level so spawn/forkserver workers can unpickle it: the failure
+    happens IN the child and must propagate to the parent iterator."""
+
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i):
+        raise ValueError("synthetic loader failure")
+
+
 def test_multiworker_worker_failure_propagates(calvin_root):
     dm = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
                           num_workers=2).setup()
-
-    class Boom:
-        def __len__(self):
-            return 12
-
-        def __getitem__(self, i):
-            raise ValueError("synthetic loader failure")
-
-    dm.train_dataset = Boom()
+    dm.train_dataset = _Boom()
     with pytest.raises(RuntimeError, match="loader worker failed"):
         next(dm.train_batches(epoch=0))
+
+
+def test_multiworker_unpicklable_dataset_fails_fast(calvin_root):
+    """spawn/forkserver workers need a picklable dataset; a local class must
+    surface as a loader error at startup, not a hang."""
+    dm = CalvinDataModule(calvin_root, batch_size=4, act_seq_len=10,
+                          num_workers=1).setup()
+
+    class Local:   # unpicklable: defined inside the test function
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {}
+
+    dm.train_dataset = Local()
+    with pytest.raises(RuntimeError, match="loader worker failed"):
+        next(dm.train_batches(epoch=0))
+
+
+class _CountingDataset:
+    """Records every __getitem__ in a shared counter (passed through the
+    Process args pickler) so the test can observe how far ahead a worker ran."""
+
+    def __init__(self, n, counter):
+        self.n = n
+        self.counter = counter
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        with self.counter.get_lock():
+            self.counter.value += 1
+        return {"rgb_obs": {"rgb_static": np.zeros((1, 4, 4, 3), np.uint8),
+                            "rgb_gripper": np.zeros((1, 4, 4, 3), np.uint8)},
+                "actions": np.zeros((10, 7), np.float32),
+                "robot_obs": np.zeros((1, 8), np.float32),
+                "idx": i, "lang_text": "t"}
+
+
+def test_multiworker_memory_bounded():
+    """A fast worker must BLOCK after QUEUE_DEPTH undelivered batches instead
+    of ballooning parent memory (the r4 reorder buffer was unbounded)."""
+    import multiprocessing as mp
+    import time
+
+    from mode_diffusion_policy_tpu.data.datamodule import _WorkerPool
+
+    counter = mp.get_context("forkserver").Value("i", 0)
+    bs, n_batches = 2, 12
+    ds = _CountingDataset(bs * n_batches, counter)
+    pool = _WorkerPool(ds, np.arange(len(ds)), bs, num_workers=1)
+    it = iter(pool)
+    next(it)   # consume one batch, then let the worker run ahead
+    # wait until the worker stalls (counter stable for ~0.6 s)
+    prev = -1
+    for _ in range(40):
+        cur = counter.value
+        if cur == prev:
+            break
+        prev = cur
+        time.sleep(0.6)
+    # bound: 1 consumed + QUEUE_DEPTH in the queue + 1 in assembly (+1 for
+    # a put that raced the read), in items
+    assert counter.value <= bs * (1 + _WorkerPool.QUEUE_DEPTH + 2), \
+        counter.value
+    rest = list(it)
+    assert len(rest) == n_batches - 1
+    assert counter.value == bs * n_batches
