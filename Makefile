@@ -35,6 +35,12 @@ bench-cache-gc:
 bench-train:
 	python bench_train.py
 
+# Re-measure the train lever table on the chip and rewrite the committed
+# BENCH_TRAIN_r05.json (the driver-checkable train-perf record). ~45 min.
+bench-train-record:
+	bash scripts/queue/run_r5_levers.sh
+	python scripts/harvest_train_bench.py
+
 bench-data:
 	python bench_data.py
 

@@ -71,7 +71,13 @@ def setup_flagship_train():
                           use_grouped_moe=os.environ.get(
                               "BENCH_TRAIN_GROUPED", "0") == "1",
                           encoder_remat=os.environ.get(
-                              "BENCH_REMAT", "1") == "1")
+                              "BENCH_REMAT", "1") == "1",
+                          # BENCH_GN=1: GroupNorm(32) encoders — kills the
+                          # BatchNorm backward's full-batch per-channel grad
+                          # reductions (VERDICT r4 #3); training-mode swap,
+                          # not BN-checkpoint compatible
+                          encoder_norm="group" if os.environ.get(
+                              "BENCH_GN", "0") == "1" else "batch")
     agent = MoDEAgent(cfg)
     t0 = time.time()
     variables = agent.init_variables(jax.random.PRNGKey(0),
@@ -170,18 +176,42 @@ def main():
         # ~500 real-shape steps on-chip on a fixed batch under per-step
         # random augmentation (a learnable objective) and require a sustained
         # loss decrease with finite losses throughout.
+        #
+        # All steps run in ONE executable call with per-window loss means
+        # accumulated in-program: under AUTO_LAYOUT the earlier chunked loop
+        # re-entered the executable 10x, and the axon relay canonicalizes
+        # some donated-output layouts at runtime (bf16[7,7,3,64]
+        # T(4,128)->T(8,128)) so re-entry flaked INVALID_ARGUMENT through
+        # every relayout path (R5_TRAIN_QUEUE.log 2026-08-20). Inside one
+        # donate-feedback loop the layouts never cross a program boundary.
         steps = int(os.environ["BENCH_TRAIN_CONVERGE"])
         chunk = 50
-        means = []
+        n_win = steps // chunk
+        inner = train_n_impl
+
+        def conv_impl(state, raw, n):
+            def win_body(w, carry):
+                st, means = carry
+                st, (mean, _) = inner(st, raw, n)
+                return st, means.at[w].set(mean)
+            return jax.lax.fori_loop(
+                0, n_win, win_body, (state, jnp.zeros((n_win,), jnp.float32)))
+
         t0 = time.time()
-        for c in range(steps // chunk):
-            state, (mean, lastl) = train_n(state, chunk)
-            mean, lastl = float(np.asarray(mean)), float(np.asarray(lastl))
-            assert np.isfinite(mean) and np.isfinite(lastl), (c, mean, lastl)
-            means.append(mean)
-            log(f"steps {c*chunk}-{(c+1)*chunk}: mean loss "
-                f"{mean:.4f} (last {lastl:.4f})")
-        first, last = means[0], means[-1]
+        if os.environ.get("BENCH_AUTO_LAYOUT") == "1":
+            from mode_diffusion_policy_tpu.training.loop import jit_auto_layout
+            fn, state = jit_auto_layout(conv_impl, state,
+                                        example_args=(raw, jnp.int32(chunk)),
+                                        rest_shardings=(None, None))
+            state, means = fn(state, raw, jnp.int32(chunk))
+        else:
+            state, means = jax.jit(conv_impl, donate_argnums=(0,))(
+                state, raw, jnp.int32(chunk))
+        means = np.asarray(means)
+        assert np.isfinite(means).all(), means
+        for c, m in enumerate(means):
+            log(f"steps {c*chunk}-{(c+1)*chunk}: mean loss {m:.4f}")
+        first, last = float(means[0]), float(means[-1])
         print(f"convergence: {steps} steps in {time.time()-t0:.0f}s, "
               f"loss {first:.4f} -> {last:.4f} "
               f"({'OK' if last < 0.7 * first else 'NO DECREASE'})")

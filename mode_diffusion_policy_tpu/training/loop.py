@@ -255,7 +255,19 @@ def _relayout_via_jit(x, fmt, pin_entry: bool = False):
         # — retry with the ENTRY format pinned to x's current layout (a
         # fallback only: pinned-entry identities were observed to have
         # their OUTPUT layout silently canonicalized in some runs)
-        return _relayout_via_jit(x, fmt, pin_entry=True)
+        last = None
+        for pause in (0.0, 0.5, 2.0):
+            # the axon relay also fails this chain TRANSIENTLY (observed
+            # 2026-08-20: the identical executable+relayout sequence passed
+            # at 08:32 and died with INVALID_ARGUMENT at 08:51) — retry a
+            # couple of times before giving up
+            if pause:
+                time.sleep(pause)
+            try:
+                return _relayout_via_jit(x, fmt, pin_entry=True)
+            except Exception as e:
+                last = e
+        raise last
 
 
 def _required_state_formats(compiled, state):
@@ -294,6 +306,85 @@ def _required_state_formats(compiled, state):
     # keep the treedef explicit: None entries are REAL leaves here (DCE'd
     # args), so unflatten against the state treedef with a leaf list
     return state_treedef.unflatten(fmts)
+
+
+def _pin_state_out_formats(compiled, fn, state, state_shapes, example_args,
+                           *, static_argnums, donate, in_sh, out_shardings):
+    """Close the donate-feedback loop of an AUTO-layout executable.
+
+    XLA may choose an OUTPUT layout for a state leaf that differs from the
+    ENTRY layout it chose for the same leaf (observed on the flagship train
+    step: stacked expert weights ``bf16[4,1024,8192]`` entry ``(0,2,1)`` vs
+    output ``(0,1,2)``). Donation then cannot alias that buffer, and —
+    worse — every chained call must relayout an EXECUTABLE-OUTPUT buffer
+    back to the entry layout, a transfer the axon relay rejects with
+    INVALID_ARGUMENT often enough to kill long runs (R5_TRAIN_QUEUE.log,
+    2026-08-20: chunk 0 of the convergence smoke ran, every later chunk's
+    relay died through every fallback path).
+
+    When the output pytree leads with a state-shaped subtree, compare its
+    formats against the entry formats; on mismatch, recompile with the
+    state OUTPUTS pinned to the chosen entry formats. Entries stay AUTO
+    (the relay compiler treats requested entry layouts as suggestions and
+    pinning them has crashed remote-compile with HTTP 500 — see
+    jit_auto_layout docstring), and out==in is byte-identical by
+    construction, so aliasing is safe. Any failure falls back to the
+    original executable (the per-call ``_relay`` retry chain remains)."""
+    from jax.experimental.layout import Format, Layout
+
+    try:
+        state_treedef = jax.tree.structure(state)
+        entry = _required_state_formats(compiled, state)
+        out_f = compiled.output_formats
+        otd = jax.tree.structure(out_f)
+        kids = otd.children()
+        if otd == state_treedef:
+            out_state = jax.tree.leaves(out_f)
+        elif kids and kids[0] == state_treedef:
+            out_state = jax.tree.leaves(out_f)[:state_treedef.num_leaves]
+        else:
+            return compiled     # unknown output shape: nothing to pin
+        entry_flat = jax.tree.flatten(entry, is_leaf=lambda x: x is None)[0]
+        mism = [i for i, (e, o) in enumerate(zip(entry_flat, out_state))
+                if e is not None and _layout_of_fmt(e) != _layout_of_fmt(o)]
+        if not mism:
+            return compiled
+        logger.warning(
+            "auto-layout: %d state leaf(s) compiled with out!=in layouts "
+            "(donation cannot alias; chained calls would relayout "
+            "executable outputs) — recompiling with pinned state outputs",
+            len(mism))
+        pin_state = state_treedef.unflatten(
+            [Format(Layout.AUTO) if e is None else e for e in entry_flat])
+        if otd == state_treedef:
+            out_sh = pin_state
+        elif isinstance(out_shardings, tuple):
+            out_sh = (pin_state, *out_shardings[1:])
+        else:   # None or a single broadcast spec: keep aux unconstrained
+            out_sh = (pin_state,
+                      Format(Layout.AUTO) if out_shardings is None
+                      else out_shardings)
+        jf = jax.jit(fn, static_argnums=static_argnums,
+                     donate_argnums=(0,) if donate else (),
+                     in_shardings=in_sh, out_shardings=out_sh)
+        pinned = jf.lower(state_shapes, *example_args).compile()
+        # verify both that the pin was honored and that the (re-chosen AUTO)
+        # entry formats still match — otherwise keep the original
+        entry2 = jax.tree.flatten(_required_state_formats(pinned, state),
+                                  is_leaf=lambda x: x is None)[0]
+        out2 = jax.tree.leaves(pinned.output_formats)
+        still = [i for i, (e, o) in enumerate(zip(entry2, out2))
+                 if e is not None and _layout_of_fmt(e) != _layout_of_fmt(o)]
+        if still:
+            logger.warning(
+                "auto-layout: pinned recompile still has %d out!=in state "
+                "leaf(s); keeping the original executable", len(still))
+            return compiled
+        return pinned
+    except Exception as e:
+        logger.warning("auto-layout: pinned-output recompile failed (%r); "
+                       "keeping the original executable", e)
+        return compiled
 
 
 def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
@@ -389,6 +480,10 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
                                     if out_shardings is None
                                     else out_shardings))
         compiled = jf.lower(state_shapes, *example_args).compile()
+        compiled = _pin_state_out_formats(
+            compiled, fn, state, state_shapes, example_args,
+            static_argnums=static_argnums, donate=donate, in_sh=in_sh,
+            out_shardings=out_shardings)
     state_formats = _required_state_formats(compiled, state)
     state, failed = _relay_consuming(state, state_formats,
                                      collect_failures=True)
@@ -436,28 +531,64 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
         if _layout_of(x) == want and _sharding_matches(x, fmt):
             return x
         try:
-            y = jax.device_put(x, fmt)
-        except Exception:
-            # some backends reject certain on-device relayouts; a compiled
-            # identity copy reads any committed layout (a host round-trip
-            # would not: fetching XLA-chosen layouts can also fail there)
-            y = _relayout_via_jit(x, fmt)
-        if want is not None and _layout_of(y) != want:
-            # backend silently ignored the layout request — compiled
-            # identity copy as the honored fallback (see _relayout_via_jit)
-            y = _relayout_via_jit(x, fmt)
+            try:
+                try:
+                    y = jax.device_put(x, fmt)
+                except Exception:
+                    # some backends reject certain on-device relayouts; a
+                    # compiled identity copy reads any committed layout (a
+                    # host round-trip would not: fetching XLA-chosen
+                    # layouts can also fail there)
+                    y = _relayout_via_jit(x, fmt)
+            except Exception:
+                # last resort, two hops via the DEFAULT layout: the relay
+                # canonicalizes exotic-layout transfers, so exotic->exotic
+                # can fail where exotic->default (a canonicalization) and
+                # default->exotic (the same move that laid out the initial
+                # state) each succeed (observed 2026-08-20 for the
+                # bf16[7,7,3,64] conv kernel, T(8,128)->T(4,128))
+                from jax.experimental.layout import Format, Layout
+                dflt = Format(Layout(major_to_minor=tuple(range(x.ndim))),
+                              x.sharding)
+                y = _relayout_via_jit(x, dflt)
+                try:
+                    y = jax.device_put(y, fmt)
+                except Exception:
+                    y = _relayout_via_jit(y, fmt)
+            if want is not None and _layout_of(y) != want:
+                # backend silently ignored the layout request — compiled
+                # identity copy as the honored fallback (_relayout_via_jit)
+                y = _relayout_via_jit(x, fmt)
+        except Exception as e:
+            raise RuntimeError(
+                f"auto-layout relay failed for leaf {x.shape} {x.dtype}: "
+                f"have layout {_layout_of(x)}, want {want} "
+                f"(sharding match: {_sharding_matches(x, fmt)})") from e
         return y
 
     def call(st, *args):
         # AOT-compiled fns take only the dynamic args; keep the jit-style
         # signature so call sites can toggle AUTO without changing shape.
-        # Re-lay the state to this program's chosen formats first so other
-        # producers (checkpoint restore, a variant compiled for a different
-        # static arg) can chain state even if their layouts disagree.
+        dyn = [a for i, a in enumerate(args, start=1) if i not in static]
+        try:
+            # direct call first: jax's AOT entry check validates layouts
+            # from the executable's own metadata BEFORE dispatch, which is
+            # authoritative — the axon relay was observed (2026-08-20) to
+            # MISREPORT an output buffer's layout through ``.format``
+            # ((0,1,2) reported vs the (0,2,1) the executable declares and
+            # produces), which made the eager comparison below relayout a
+            # perfectly valid feedback buffer and then die in the relay's
+            # broken transfer paths. Nothing is donated until dispatch, so
+            # a rejection here leaves ``st`` intact for the relay retry.
+            return compiled(st, *dyn)
+        except Exception:
+            pass
+        # entry rejected (a different producer: checkpoint restore, another
+        # variant, a genuinely re-laid buffer) — re-lay to this program's
+        # chosen formats and retry
         flat_st = jax.tree.leaves(st)
         st = jax.tree.unflatten(
             fmt_treedef, [_relay(x, f) for x, f in zip(flat_st, flat_formats)])
-        dyn = [a for i, a in enumerate(args, start=1) if i not in static]
         return compiled(st, *dyn)
 
     call.state_formats = state_formats   # for reuse_formats= on variants
