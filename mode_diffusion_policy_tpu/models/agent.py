@@ -166,6 +166,11 @@ class MoDEAgentConfig:
     # activation memory; set False when the batch/model fits HBM without it
     # (docs/PERF.md "train step")
     encoder_remat: bool = True
+    # "batch" (reference parity: torch BatchNorm2d + sync_batchnorm under
+    # DP) or "group" (GroupNorm(32): no running stats, no cross-replica
+    # sync, no full-batch grad reductions in the backward — the SURVEY §2.3
+    # blessed training-mode swap; NOT loadable from published BN weights)
+    encoder_norm: str = "batch"
 
     @property
     def obs_dim(self) -> int:
@@ -212,11 +217,11 @@ class MoDEAgent:
             depth = int(cfg.resnet_type)
             mk = lambda folded, **kw: FiLMResNetPolicy(  # noqa: E731
                 cfg.cond_dim, depth=depth, dtype=cfg.dtype, folded=folded,
-                **kw)
+                norm=cfg.encoder_norm, **kw)
         else:
             mk = lambda folded, **kw: ResNetEncoderWithFiLM(  # noqa: E731
                 cfg.cond_dim, latent_dim=512, dtype=cfg.dtype, folded=folded,
-                **kw)
+                norm=cfg.encoder_norm, **kw)
         self._mk_encoder = mk
         self.static_resnet = mk(False)
         self.gripper_resnet = mk(False)
@@ -399,8 +404,12 @@ class MoDEAgent:
                 v = {"params": variables["folded_params"][name]}
                 return mod.apply(v, x, cond_rep,
                                  train=False).reshape(B, T, -1), None
-            v = {"params": variables["params"][name],
-                 "batch_stats": variables["batch_stats"][name]}
+            # GroupNorm encoders (cfg.encoder_norm="group") carry no
+            # batch_stats — keep the collection out of apply entirely
+            bs = variables.get("batch_stats", {}).get(name, {})
+            v = {"params": variables["params"][name]}
+            if bs:
+                v["batch_stats"] = bs
             if train:
                 # rematerialize encoder activations in the backward pass —
                 # ResNet-50 at 224px dominates training HBM otherwise
@@ -412,7 +421,7 @@ class MoDEAgent:
                 if self.cfg.encoder_remat:
                     fwd = jax.checkpoint(fwd)
                 out, upd = fwd(v, x, cond_rep)
-                return out.reshape(B, T, -1), upd["batch_stats"]
+                return out.reshape(B, T, -1), upd.get("batch_stats", {})
             return mod.apply(v, x, cond_rep, train=False).reshape(B, T, -1), None
 
         st, st_upd = run(self.static_resnet, "static_resnet", rgb_static)
@@ -551,23 +560,25 @@ class MoDEAgent:
                 fast_vars, sched,
                 method=_DiT.process_sigma_embeddings)       # [S,1,D]
             from .edm.precond import edm_scalings
-            cs_all, co_all, ci_all = edm_scalings(sched, cfg.sigma_data)
-            pre = (static_x, goal_embed, emb_all, cs_all, co_all, ci_all)
+            # one [S,3] table -> ONE per-step gather for all three scalings
+            scal_all = jnp.stack(edm_scalings(sched, cfg.sigma_data), axis=1)
+            pre = (static_x, goal_embed, emb_all, scal_all)
 
         def denoiser(x, sigma, step_idx):
             on_sched = routing is not None and not (
                 isinstance(step_idx, int) and step_idx < 0)
             overrides = None
             if on_sched:
-                overrides = [(jnp.take(idx, step_idx, axis=0),
-                              jnp.take(p, step_idx, axis=0))
-                             for idx, p in routing]
+                # sigma-table mode: hand each block the FULL [S,2] tables
+                # plus the traced step — the Pallas kernels index them in
+                # SMEM via scalar prefetch, so the 2-per-layer XLA gathers
+                # the scan used to pay vanish (VERDICT r4 #2)
+                overrides = [(idx, p, step_idx) for idx, p in routing]
             if on_sched and pre is not None:
-                static_x, goal_embed, emb_all, cs_all, co_all, ci_all = pre
+                static_x, goal_embed, emb_all, scal_all = pre
                 emb_t = jnp.take(emb_all, step_idx, axis=0)[None]  # [1,1,D]
-                cs = jnp.take(cs_all, step_idx)
-                co = jnp.take(co_all, step_idx)
-                ci = jnp.take(ci_all, step_idx)
+                scal = jnp.take(scal_all, step_idx, axis=0)        # [3]
+                cs, co, ci = scal[0], scal[1], scal[2]
                 pred = self.dit.apply(
                     fast_vars, static_x, goal_embed, emb_t,
                     x * ci, moe_overrides=overrides,

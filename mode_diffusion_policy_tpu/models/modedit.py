@@ -410,7 +410,10 @@ class NoiseBlockMoE(nn.Module):
         w2 = self.w2.astype(dt)
 
         if moe_override is not None:
-            idx, p = moe_override
+            # (idx [k], p [k]) per-step rows, or sigma-table mode
+            # (idx [S,k], p [S,k], step) — see _override_out
+            idx, p, *rest = moe_override
+            step = rest[0] if rest else None
             fuse_ln = ((cfg.use_int8_moe or cfg.use_pallas_moe)
                        and cfg.router_top_k == 2 and not cfg.identity_expert
                        and not cfg.use_shared_expert)
@@ -419,9 +422,9 @@ class NoiseBlockMoE(nn.Module):
                 # normalizes in VMEM (x never re-materializes normed)
                 return self._override_out(
                     x, idx, p, w1, b1, w2, ln_g=self.ln_2.scale(),
-                    ln_eps=self.ln_2.eps), None
+                    ln_eps=self.ln_2.eps, step=step), None
             x = self.ln_2(x)
-            res = self._override_out(x, idx, p, w1, b1, w2)
+            res = self._override_out(x, idx, p, w1, b1, w2, step=step)
             if cfg.use_shared_expert:
                 res = res + self._shared_out(x, train=False)
             return res, None
@@ -452,15 +455,28 @@ class NoiseBlockMoE(nn.Module):
         return x + out, aux
 
     def _override_out(self, x, idx, p, w1, b1, w2, ln_g=None,
-                      ln_eps=1e-6):
+                      ln_eps=1e-6, step=None):
         """Per-sigma precomputed-routing MoE block output ``x + moe(x)``.
         On the Pallas paths the residual add is fused into the kernel
         epilogue (fp32 accumulator seeded with x — one x.dtype output
         write, no separate add+cast pass); with ``ln_g`` the block's ln_2
-        is fused in as well (x arrives RAW, normalized in VMEM)."""
+        is fused in as well (x arrives RAW, normalized in VMEM).
+
+        Sigma-table mode (``idx/p`` are the full [S, k] tables plus a traced
+        ``step``): the Pallas kernels take the tables through scalar
+        prefetch and index SMEM in their BlockSpec index maps — zero
+        per-step XLA gather ops inside the denoise scan (VERDICT r4 #2);
+        the non-kernel fallbacks gather the row here instead."""
         cfg = self.cfg
         dt = cfg.dtype
         assert ln_g is None or (cfg.use_int8_moe or cfg.use_pallas_moe)
+        kernel_mode = (not cfg.identity_expert and cfg.router_top_k == 2
+                       and (cfg.use_int8_moe or cfg.use_pallas_moe))
+        if step is not None and not kernel_mode:
+            # table mode but a non-kernel consumer: one tiny gather
+            idx = jnp.take(idx, step, axis=0)
+            p = jnp.take(p, step, axis=0)
+            step = None
         if cfg.identity_expert:
             # the last routed expert is a passthrough with no weights: gather
             # the MLP experts with its probability zeroed, add p_id * x
@@ -476,13 +492,13 @@ class NoiseBlockMoE(nn.Module):
             from ..ops.quant import QuantizedExperts
             return fused_top2_mlp_q8c(
                 x, idx, p, QuantizedExperts(*self.experts_q.value),
-                residual=True, ln_g=ln_g, ln_eps=ln_eps,
+                step=step, residual=True, ln_g=ln_g, ln_eps=ln_eps,
                 interpret=runtime_interpret())
         if cfg.use_pallas_moe and cfg.router_top_k == 2:
             from ..ops.pallas import runtime_interpret
             from ..ops.pallas.moe_kernel import fused_top2_mlp
-            return fused_top2_mlp(x, idx, p, w1, b1, w2, residual=True,
-                                  ln_g=ln_g, ln_eps=ln_eps,
+            return fused_top2_mlp(x, idx, p, w1, b1, w2, step=step,
+                                  residual=True, ln_g=ln_g, ln_eps=ln_eps,
                                   interpret=runtime_interpret())
         return x + moe_ffn_top2_gather(x, idx, p.astype(dt), w1, b1, w2)
 
@@ -710,15 +726,22 @@ class MoDeDiT(nn.Module):
         pos = self.pos_emb.astype(cfg.dtype)
         action_embed = self.action_emb(actions.astype(cfg.dtype))
         action_x = action_embed + pos[:, (g + t - 1):, :]
-        emb_t = jnp.broadcast_to(emb_t, (B,) + emb_t.shape[1:])
-        seqs = ([emb_t] if cfg.use_noise_token_as_input else []) + \
+        emb_b = jnp.broadcast_to(emb_t, (B,) + emb_t.shape[1:])
+        seqs = ([emb_b] if cfg.use_noise_token_as_input else []) + \
             [jnp.broadcast_to(static_x, (B,) + static_x.shape[1:]), action_x]
         x = jnp.concatenate(seqs, axis=1)
+        # the cond token stays UN-broadcast ([1,1,D]) when it is sample-
+        # invariant: the XLA paths broadcast for free and the fused
+        # attention kernel reads one shared [1,D] row instead of a
+        # materialized [B*T,D] copy per layer (attn_kernel c_shared)
         cond_token = emb_t
         if cfg.use_goal_in_routing:
             cond_token = cond_token + goal_embed
         if context is None:
             context = cond_token
+        if cfg.use_cross_attention and context.shape[0] != B:
+            # cross-attention einsums need a real batch axis
+            context = jnp.broadcast_to(context, (B,) + context.shape[1:])
         for i, block in enumerate(self.blocks):
             ov = None if moe_overrides is None else moe_overrides[i]
             x, _ = block(x, cond_token, train=False, context=context,

@@ -47,7 +47,10 @@ def _kernel(x_ref, c_ref, lng_ref, wqkv_ref, bqkv_ref, qgt_ref, kgt_ref,
     # ln_1 (reference RMSNorm semantics: x / max(||x|| * D^-0.5, eps) * g)
     norm = jnp.sqrt(jnp.sum(x32 * x32, axis=1, keepdims=True)) * (D ** -0.5)
     h = x32 / jnp.maximum(norm, eps_ln) * lng_ref[0].astype(jnp.float32)
-    h = (h + c_ref[:].astype(jnp.float32)).astype(dt)
+    # c is either per-row [TM, D] or one shared sigma-token row [1, D]
+    # broadcast over the block (c_shared — saves the [N, D] HBM copy)
+    c = c_ref[0] if c_ref.shape[0] == 1 else c_ref[:]
+    h = (h + c.astype(jnp.float32)).astype(dt)
 
     qkv = jnp.dot(h, wqkv_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
@@ -94,7 +97,12 @@ def _block_layout(x, c, block_samples):
     """Shared tiling/pad logic: pick S whole samples per grid step (rows per
     block must tile the TPU sublane granule; small batches use the smallest
     valid S >= B so padded compute stays proportional), pad batch to a
-    multiple of S, and flatten to rows."""
+    multiple of S, and flatten to rows.
+
+    When c is sample-AND-token-invariant ([1, 1, D], the cond-only sigma
+    token of the precomputed fast path), it is returned as one shared
+    [1, D] row — the kernels broadcast it in VMEM instead of reading a
+    materialized [N, D] copy from HBM per layer."""
     B, T, D = x.shape
     S = block_samples
     while (S * T) % 8 != 0 and S > 1:
@@ -112,14 +120,17 @@ def _block_layout(x, c, block_samples):
     Bp = -(-B // S) * S
     if Bp != B:
         x_in = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-        c_in = jnp.pad(jnp.broadcast_to(c, (B, T, D)),
-                       ((0, Bp - B), (0, 0), (0, 0)))
     else:
         x_in = x
-        c_in = jnp.broadcast_to(c, (B, T, D))
     N = Bp * T
-    return (x_in.reshape(N, D), c_in.reshape(N, D).astype(x.dtype),
-            Bp, N, S * T)
+    if c.shape[0] == 1 and c.shape[1] == 1:
+        c_rows = c.reshape(1, D).astype(x.dtype)
+    else:
+        c_in = jnp.broadcast_to(c, (B, T, D))
+        if Bp != B:
+            c_in = jnp.pad(c_in, ((0, Bp - B), (0, 0), (0, 0)))
+        c_rows = c_in.reshape(N, D).astype(x.dtype)
+    return x_in.reshape(N, D), c_rows, Bp, N, S * T
 
 
 @functools.partial(jax.jit, static_argnames=("block_samples", "interpret",
@@ -146,6 +157,8 @@ def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
     qgt = jnp.tile(q_g.astype(jnp.float32), H)[None, :]   # [1, D]
     kgt = jnp.tile(k_g.astype(jnp.float32), H)[None, :]
 
+    c_spec = (pl.BlockSpec((1, D), lambda i: (0, 0)) if cf.shape[0] == 1
+              else pl.BlockSpec((TM, D), lambda i: (i, 0)))
     grid = (N // TM,)
     out = pl.pallas_call(
         functools.partial(_kernel, T=T, H=H, hd=hd, eps_ln=ln_eps,
@@ -153,7 +166,7 @@ def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, D), lambda i: (i, 0)),
-            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            c_spec,
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),
@@ -202,7 +215,8 @@ def _kernel_q8(x_ref, c_ref, lng_ref, wqkv_ref, sqkv_ref, bqkv_ref, qgt_ref,
 
     norm = jnp.sqrt(jnp.sum(x32 * x32, axis=1, keepdims=True)) * (D ** -0.5)
     h = x32 / jnp.maximum(norm, eps_ln) * lng_ref[0].astype(jnp.float32)
-    h = h + c_ref[:].astype(jnp.float32)
+    c = c_ref[0] if c_ref.shape[0] == 1 else c_ref[:]
+    h = h + c.astype(jnp.float32)
 
     hq, hs = _qrows(h)
     qkv = jax.lax.dot_general(hq, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -265,13 +279,15 @@ def fused_attn_block_q8(x: jax.Array, c: jax.Array, ln_g: jax.Array,
     qgt = jnp.tile(q_g.astype(jnp.float32), H)[None, :]
     kgt = jnp.tile(k_g.astype(jnp.float32), H)[None, :]
 
+    c_spec = (pl.BlockSpec((1, D), lambda i: (0, 0)) if cf.shape[0] == 1
+              else pl.BlockSpec((TM, D), lambda i: (i, 0)))
     out = pl.pallas_call(
         functools.partial(_kernel_q8, T=T, H=H, hd=hd, eps_ln=ln_eps,
                           eps_qk=qk_eps, scale=float(1.0 / np.sqrt(hd))),
         grid=(N // TM,),
         in_specs=[
             pl.BlockSpec((TM, D), lambda i: (i, 0)),
-            pl.BlockSpec((TM, D), lambda i: (i, 0)),
+            c_spec,
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((D, 3 * D), lambda i: (0, 0)),
             pl.BlockSpec((1, 3 * D), lambda i: (0, 0)),

@@ -12,6 +12,16 @@ speed-of-light HBM traffic at small batch.
 
 Grid: (token_blocks, 2 expert slots, hidden_blocks); the output block is
 revisited across the two trailing grid dims and accumulated in fp32.
+
+Sigma-table mode (round 5, VERDICT r4 #2): the wrappers accept the FULL
+per-sigma routing tables ``idx/probs [S, 2]`` plus a traced ``step`` scalar.
+The tables ride the scalar-prefetch path into SMEM and the BlockSpec index
+maps read ``idx[step, e]`` — so inside the denoise ``lax.scan`` the per-step
+expert selection costs ZERO XLA ops (the reference's float-keyed fused
+expert cache, modedit.py:971-1011, became a python dict lookup per step;
+here it is an SMEM index in the kernel's own DMA descriptor). Single-row
+callers (tests, off-schedule evals) pass ``idx [2]`` and no step, which
+wraps to a 1-row table.
 """
 from __future__ import annotations
 
@@ -22,6 +32,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _norm_tables(top2_idx, top2_probs, step):
+    """Normalize (idx, probs, step) to ([S,2] i32, [S,2] f32, [1] i32)."""
+    idx = jnp.asarray(top2_idx, jnp.int32)
+    probs = jnp.asarray(top2_probs, jnp.float32)
+    if idx.ndim == 1:
+        idx, probs = idx[None], probs[None]
+    if step is None:
+        step = jnp.zeros((1,), jnp.int32)
+    else:
+        step = jnp.asarray(step, jnp.int32).reshape((1,))
+    return idx, probs, step
 
 
 def _prenorm(x_ref, lng_ref, ln_input, eps):
@@ -37,9 +60,9 @@ def _prenorm(x_ref, lng_ref, ln_input, eps):
     return xn.astype(x_ref.dtype)
 
 
-def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
-            b1g_ref, w2_ref, out_ref, acc_ref, *, residual, n_h, ln_input,
-            ln_eps):
+def _kernel(idx_ref, probs_ref, step_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
+            b1v_ref, b1g_ref, w2_ref, out_ref, acc_ref, *, residual, n_h,
+            ln_input, ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
     x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
@@ -60,7 +83,7 @@ def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
     gate = gate + b1g_ref[0, 0].astype(jnp.float32)
     act = (value * jax.nn.silu(gate)).astype(x.dtype)
     contrib = jnp.dot(act, w2_ref[0], preferred_element_type=jnp.float32)
-    p = probs_ref[e].astype(jnp.float32)
+    p = probs_ref[step_ref[0], e].astype(jnp.float32)
     acc_ref[:] += p * contrib
 
     @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
@@ -73,15 +96,17 @@ def _kernel(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref, b1v_ref,
                                              "ln_eps"))
 def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
                    w1: jax.Array, b1: jax.Array, w2: jax.Array, *,
+                   step: jax.Array = None,
                    block_tokens: int = 256, block_hidden: int = 1024,
                    interpret: bool = False, residual: bool = False,
                    ln_g: jax.Array = None,
                    ln_eps: float = 1e-6) -> jax.Array:
-    """x: [B, T, D]; top2_idx [2] int32; top2_probs [2]; w1 [E, D, 2H];
-    b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in x.dtype.
-    ``residual=True`` fuses the transformer block's ``x + moe(x)`` into the
-    kernel epilogue (fp32 VMEM accumulator seeded with x, single x.dtype
-    output write)."""
+    """x: [B, T, D]; top2_idx [2] int32 (or the full sigma table [S, 2] with
+    a traced ``step`` scalar selecting the row in-kernel); top2_probs
+    likewise; w1 [E, D, 2H]; b1 [E, 2H]; w2 [E, H, D]. Returns [B, T, D] in
+    x.dtype. ``residual=True`` fuses the transformer block's ``x + moe(x)``
+    into the kernel epilogue (fp32 VMEM accumulator seeded with x, single
+    x.dtype output write)."""
     B, T, D = x.shape
     E, _, H2 = w1.shape
     H = H2 // 2
@@ -98,27 +123,30 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
     n_h = H // TH
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # idx, probs
+        num_scalar_prefetch=3,  # idx table, probs table, step
         grid=(n_tok, 2, n_h),
         in_specs=[
-            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
-            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs, st: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             # value / gate halves of the SwishGLU projection; expert row
-            # selected via the prefetched indices
+            # selected via the prefetched indices at the prefetched step
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             # biases as [E, 1, 2H] so the block's trailing two dims satisfy
             # the TPU (sublane, lane) tiling constraint
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, TH, D),
-                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], k, 0)),
         ],
-        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        out_specs=pl.BlockSpec((TM, D),
+                               lambda i, e, k, idx, probs, st: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out_call = pl.pallas_call(
@@ -136,7 +164,8 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
     )
     lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
            else ln_g.astype(jnp.float32)[None, :])
-    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+    idx_t, probs_t, step_t = _norm_tables(top2_idx, top2_probs, step)
+    out = out_call(idx_t, probs_t, step_t,
                    xf, lng, w1, w1, b1[:, None, :], b1[:, None, :], w2)
     out = out[:N].astype(x.dtype)
     return out.reshape(B, T, D)
@@ -148,9 +177,9 @@ def fused_top2_mlp(x: jax.Array, top2_idx: jax.Array, top2_probs: jax.Array,
 # kernel multiplies by a scale row AFTER each MXU dot (see ops/quant.py).
 # ---------------------------------------------------------------------------
 
-def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
-               s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
-               acc_ref, *, residual, n_h, ln_input, ln_eps):
+def _kernel_q8(idx_ref, probs_ref, step_ref, x_ref, lng_ref, w1v_ref,
+               w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref,
+               out_ref, acc_ref, *, residual, n_h, ln_input, ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
     x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
@@ -173,7 +202,7 @@ def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
     contrib = jnp.dot(act, w2_ref[0].astype(dt),
                       preferred_element_type=jnp.float32)
     contrib = contrib * s2_ref[0, 0]
-    p = probs_ref[e].astype(jnp.float32)
+    p = probs_ref[step_ref[0], e].astype(jnp.float32)
     acc_ref[:] += p * contrib
 
     @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
@@ -186,12 +215,14 @@ def _kernel_q8(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
                                              "ln_eps"))
 def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
                       top2_probs: jax.Array, q, *,
+                      step: jax.Array = None,
                       block_tokens: int = 256, block_hidden: int = 1024,
                       interpret: bool = False, residual: bool = False,
                       ln_g: jax.Array = None,
                       ln_eps: float = 1e-6) -> jax.Array:
     """int8-weight variant of fused_top2_mlp; ``q`` is ops.quant.
-    QuantizedExperts. Activations stay in x.dtype."""
+    QuantizedExperts. Activations stay in x.dtype. ``top2_idx/probs`` may be
+    the full sigma tables [S, 2] with a traced ``step`` row selector."""
     B, T, D = x.shape
     E, _, H2 = q.w1_q.shape
     H = H2 // 2
@@ -208,28 +239,33 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
     n_h = H // TH
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tok, 2, n_h),
         in_specs=[
-            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
-            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs, st: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, TH, D),
-                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
-            pl.BlockSpec((1, 1, D), lambda i, e, k, idx, probs: (idx[e], 0, 0)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], k, 0)),
+            pl.BlockSpec((1, 1, D),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        out_specs=pl.BlockSpec((TM, D),
+                               lambda i, e, k, idx, probs, st: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out_call = pl.pallas_call(
@@ -247,7 +283,8 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
     )
     lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
            else ln_g.astype(jnp.float32)[None, :])
-    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+    idx_t, probs_t, step_t = _norm_tables(top2_idx, top2_probs, step)
+    out = out_call(idx_t, probs_t, step_t,
                    xf, lng, q.w1_q, q.w1_q, q.w1_s[:, None, :],
                    q.w1_s[:, None, :], q.b1[:, None, :], q.b1[:, None, :],
                    q.w2_q, q.w2_s[:, None, :])
@@ -278,9 +315,9 @@ def _dot_i8(a, b):
                                preferred_element_type=jnp.int32)
 
 
-def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
-                s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref, out_ref,
-                acc_ref, *, residual, n_h, ln_input, ln_eps):
+def _kernel_q8c(idx_ref, probs_ref, step_ref, x_ref, lng_ref, w1v_ref,
+                w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref,
+                out_ref, acc_ref, *, residual, n_h, ln_input, ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
     x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
@@ -303,7 +340,7 @@ def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
     aq, sa = _quant_rows(act)
     contrib = _dot_i8(aq, w2_ref[0]).astype(jnp.float32)
     contrib = contrib * (sa * s2_ref[0, 0][None, :])
-    acc_ref[:] += probs_ref[e].astype(jnp.float32) * contrib
+    acc_ref[:] += probs_ref[step_ref[0], e].astype(jnp.float32) * contrib
 
     @pl.when(jnp.logical_and(e == 1, k == n_h - 1))
     def _():
@@ -315,12 +352,15 @@ def _kernel_q8c(idx_ref, probs_ref, x_ref, lng_ref, w1v_ref, w1g_ref,
                                              "ln_eps"))
 def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
                        top2_probs: jax.Array, q, *,
+                       step: jax.Array = None,
                        block_tokens: int = 256, block_hidden: int = 1024,
                        interpret: bool = False, residual: bool = False,
                        ln_g: jax.Array = None,
                        ln_eps: float = 1e-6) -> jax.Array:
     """int8-compute variant of fused_top2_mlp_q8: activations quantized
-    per token in-kernel, both dots run int8 x int8 -> int32 on the MXU."""
+    per token in-kernel, both dots run int8 x int8 -> int32 on the MXU.
+    ``top2_idx/probs`` may be the full sigma tables [S, 2] with a traced
+    ``step`` row selector."""
     B, T, D = x.shape
     E, _, H2 = q.w1_q.shape
     H = H2 // 2
@@ -337,29 +377,33 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
     n_h = H // TH
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tok, 2, n_h),
         in_specs=[
-            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
-            pl.BlockSpec((1, D), lambda i, e, k, idx, probs: (0, 0)),
+            pl.BlockSpec((TM, D), lambda i, e, k, idx, probs, st: (i, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, D, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, k)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
             pl.BlockSpec((1, 1, TH),
-                         lambda i, e, k, idx, probs: (idx[e], 0, n_h + k)),
+                         lambda i, e, k, idx, probs, st:
+                         (idx[st[0], e], 0, n_h + k)),
             pl.BlockSpec((1, TH, D),
-                         lambda i, e, k, idx, probs: (idx[e], k, 0)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], k, 0)),
             pl.BlockSpec((1, 1, D),
-                         lambda i, e, k, idx, probs: (idx[e], 0, 0)),
+                         lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TM, D), lambda i, e, k, idx, probs: (i, 0)),
+        out_specs=pl.BlockSpec((TM, D),
+                               lambda i, e, k, idx, probs, st: (i, 0)),
         scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
     )
     out_call = pl.pallas_call(
@@ -377,7 +421,8 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
     )
     lng = (jnp.zeros((1, D), jnp.float32) if ln_g is None
            else ln_g.astype(jnp.float32)[None, :])
-    out = out_call(top2_idx.astype(jnp.int32), top2_probs.astype(jnp.float32),
+    idx_t, probs_t, step_t = _norm_tables(top2_idx, top2_probs, step)
+    out = out_call(idx_t, probs_t, step_t,
                    xf, lng, q.w1_q, q.w1_q, q.w1_s[:, None, :],
                    q.w1_s[:, None, :], q.b1[:, None, :], q.b1[:, None, :],
                    q.w2_q, q.w2_s[:, None, :])
