@@ -175,6 +175,9 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
         # train backward (True = fit-first; False = ~8 ms/step faster at
         # flagship b=32 when HBM allows, docs/PERF.md "train step")
         encoder_remat=_bool(model_cfg.get("encoder_remat"), True),
+        # "batch" (reference BN parity) or "group" (GroupNorm(32) training
+        # swap, SURVEY §2.3; not loadable from published BN checkpoints)
+        encoder_norm=str(model_cfg.get("encoder_norm", "batch")),
     )
     agent = MoDEAgent(cfg)
 

@@ -61,6 +61,24 @@ def _bn(name, dtype, axis_name):
                         axis_name=axis_name)
 
 
+def _apply_norm(x, name, dtype, axis_name, kind, train):
+    """BatchNorm (reference parity) or GroupNorm(32) under the same param
+    name ("bn*": both carry scale+bias; GN has no batch_stats).
+
+    ``kind="group"`` is the training-mode swap SURVEY §2.3 blesses against
+    the reference's ``sync_batchnorm: True`` (training_calvin.py:102): no
+    running statistics, no cross-replica reduction, and — the round-5
+    motivation — the backward pass loses BatchNorm's full-batch per-channel
+    grad reductions (the largest remaining HBM-bound chunk of the train
+    step, docs/PERF.md). Per-sample statistics also make train == eval
+    graphs. Not checkpoint-compatible with published BN weights — use for
+    from-scratch training only."""
+    if kind == "group":
+        return nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
+                            name=name, dtype=dtype)(x)
+    return _bn(name, dtype, axis_name)(x, use_running_average=not train)
+
+
 # ---------------------------------------------------------------------------
 # Inference-time BatchNorm folding + space-to-depth stem
 #
@@ -282,6 +300,7 @@ class _BlockBase(nn.Module):
     axis_name: Optional[str] = None
     folded: bool = False
     q8: Any = False           # False | True (dynamic act scales) | "static"
+    norm: str = "batch"       # "batch" | "group" (see _apply_norm)
 
     def _cbn(self, x, features, kernel, stride, idx, train):
         """conv{idx} -> bn{idx}, or the BN-folded conv+bias when folded
@@ -294,8 +313,8 @@ class _BlockBase(nn.Module):
             return _conv(features, kernel, stride, f"conv{idx}", self.dtype,
                          use_bias=True)(x)
         out = _conv(features, kernel, stride, f"conv{idx}", self.dtype)(x)
-        return _bn(f"bn{idx}", self.dtype, self.axis_name)(
-            out, use_running_average=not train)
+        return _apply_norm(out, f"bn{idx}", self.dtype, self.axis_name,
+                           self.norm, train)
 
     def _downsample(self, x, features, train):
         if self.folded:
@@ -307,8 +326,8 @@ class _BlockBase(nn.Module):
                          self.dtype, use_bias=True)(x)
         identity = _conv(features, 1, self.stride, "downsample_conv",
                          self.dtype)(x)
-        return _bn("downsample_bn", self.dtype, self.axis_name)(
-            identity, use_running_average=not train)
+        return _apply_norm(identity, "downsample_bn", self.dtype,
+                           self.axis_name, self.norm, train)
 
 
 class BasicBlock(_BlockBase):
@@ -353,6 +372,7 @@ class ResNetBackbone(nn.Module):
     folded: bool = False
     q8: Any = False
     q8_skip: Tuple[str, ...] = ()   # stage names kept float: "stem","layer1"..
+    norm: str = "batch"             # "batch" | "group" (see _apply_norm)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, stage_films=None,
@@ -361,7 +381,6 @@ class ResNetBackbone(nn.Module):
         AFTER each stage (timm-policy style). block_films: optional per-stage
         list of per-block (gamma,beta) applied inside each block (scratch
         ResNet-18 style)."""
-        use_ra = not train
         if self.folded:
             # exact space-to-depth rewrite of the 7x7/2 stem + folded BN
             x = space_to_depth_2x2(x)
@@ -375,8 +394,8 @@ class ResNetBackbone(nn.Module):
                             name="conv1", dtype=self.dtype)(x)
         else:
             x = _conv(64, 7, 2, "conv1", self.dtype)(x)
-            x = _bn("bn1", self.dtype, self.axis_name)(
-                x, use_running_average=use_ra)
+            x = _apply_norm(x, "bn1", self.dtype, self.axis_name, self.norm,
+                            train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -394,7 +413,7 @@ class ResNetBackbone(nn.Module):
                 q8_b = (False if f"layer{s + 1}" in self.q8_skip
                         else self.q8)
                 x = Block(width, stride, has_ds, self.dtype, self.axis_name,
-                          self.folded, q8_b,
+                          self.folded, q8_b, self.norm,
                           name=f"layer{s + 1}_{b}")(x, train=train, film=film)
                 in_ch = width * exp
             if stage_films is not None:
@@ -419,6 +438,7 @@ class FiLMResNetPolicy(nn.Module):
     folded: bool = False
     q8: Any = False
     q8_skip: Tuple[str, ...] = ()
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, condition, *, train: bool = False):
@@ -436,7 +456,7 @@ class FiLMResNetPolicy(nn.Module):
                             name=f"film{s + 1}_beta", dtype=self.dtype)(condition)
             films.append((gamma, beta))
         x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
-                           self.q8, self.q8_skip, name="resnet")(
+                           self.q8, self.q8_skip, self.norm, name="resnet")(
             x.astype(self.dtype), train=train, stage_films=films)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [B, out_dim]
 
@@ -471,6 +491,7 @@ class ResNetEncoderWithFiLM(nn.Module):
     folded: bool = False
     q8: Any = False
     q8_skip: Tuple[str, ...] = ()
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, condition=None, *, train: bool = False):
@@ -492,7 +513,7 @@ class ResNetEncoderWithFiLM(nn.Module):
                     FilmModule(width, self.dtype, name=f"film_module{s + 1}")(
                         condition))
         x = ResNetBackbone(spec, self.dtype, self.axis_name, self.folded,
-                           self.q8, self.q8_skip, name="resnet")(
+                           self.q8, self.q8_skip, self.norm, name="resnet")(
             x.astype(self.dtype), train=train, block_films=block_films)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.latent_dim, name="fc", dtype=self.dtype)(x)
