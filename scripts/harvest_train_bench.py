@@ -12,7 +12,7 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-LOG = REPO / "R5_TRAIN_QUEUE.log"
+LOGS = [REPO / "R5_TRAIN_QUEUE.log", REPO / "R5_MEASURE.log"]
 OUT = REPO / "BENCH_TRAIN_r05.json"
 
 LABELS = {
@@ -22,15 +22,24 @@ LABELS = {
         "SHIPPED: auto_layout + bf16_full_state (hw-RNG SR)",
     ("BENCH_AUTO_LAYOUT", "BENCH_NU_BF16"):
         "auto_layout + nu_bf16 (f32 params, bf16 second moment)",
+    ("BENCH_GN",): "GroupNorm encoders (measured NEGATIVE; default stays BN)",
+    ("BENCH_AUTO_LAYOUT", "BENCH_BF16_STATE", "BENCH_GN"):
+        "GroupNorm + shipped combo (measured experiment)",
 }
 
 
 def main():
     rows = {}
     converge = None
-    for line in LOG.read_text().splitlines():
+    lines = []
+    for log in LOGS:
+        if log.exists():
+            lines.extend(log.read_text().splitlines())
+    for line in lines:
         if line.startswith("{") and '"metric"' in line:
             rec = json.loads(line)
+            if not rec.get("metric", "").startswith("flagship train step"):
+                continue   # R5_MEASURE.log also carries bench.py JSON lines
             knobs = {k: v for k, v in rec.get("knobs", {}).items()
                      if k != "BENCH_TRAIN_ITERS"}
             key = tuple(sorted(knobs))

@@ -697,3 +697,45 @@ def test_jit_auto_layout_matches_default(tiny_setup):
     # and eager/other-program consumption works after relayout
     leaf = jax.tree.leaves(back)[0]
     assert np.isfinite(np.asarray(leaf + 1.0)).all()
+
+
+def test_groupnorm_encoder_mode():
+    """encoder_norm="group": no batch_stats collection, the train step runs
+    and optimizes, and eval forward works (per-sample stats, train == eval
+    graph). The SURVEY §2.3 blessed swap for the reference's
+    sync_batchnorm: True (training_calvin.py:102)."""
+    cfg = MoDEAgentConfig(latent_dim=32, n_layers=2, n_heads=2, cond_dim=16,
+                          resnet_type="50", encoder_norm="group")
+    agent = MoDEAgent(cfg)
+    v = agent.init_variables(jax.random.PRNGKey(0), image_hw=(24, 24))
+    assert not jax.tree.leaves(v.get("batch_stats", {}))
+    # GN params live under the same bn* names (scale+bias only)
+    bn1 = v["params"]["static_resnet"]["resnet"]["bn1"]
+    assert set(bn1) == {"scale", "bias"}
+
+    opt, _ = make_optimizer(v["params"], learning_rate=3e-3,
+                            use_lr_scheduler=False)
+    state = TrainState.create(v, opt, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(agent, opt, log_grad_norms=False))
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb_static": jnp.asarray(rng.standard_normal((2, 1, 24, 24, 3)),
+                                  jnp.float32),
+        "rgb_gripper": jnp.asarray(rng.standard_normal((2, 1, 24, 24, 3)),
+                                   jnp.float32),
+        "actions": jnp.asarray(rng.standard_normal((2, 10, 7)) * .3,
+                               jnp.float32),
+        "lang_emb": jnp.asarray(rng.standard_normal((2, 1, 16)), jnp.float32),
+    }
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["train/total_loss"]))
+    assert np.isfinite(losses).all(), losses
+    # per-step loss is noisy (random sigma draw per step) — gate the trend
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
+
+    emb, upd = agent.embed_visual_obs(
+        state.train_variables(), batch["rgb_static"], batch["rgb_gripper"],
+        batch["lang_emb"], train=False)
+    assert np.isfinite(np.asarray(emb["state_images"])).all()
