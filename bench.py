@@ -76,6 +76,20 @@ def main():
                           # reverts.
                           use_pallas_attn=os.environ.get(
                               "BENCH_PALLAS_ATTN", "1") == "1",
+                          # whole-layer kernel (attention + MoE in ONE
+                          # pallas launch; halves the 240 launches/chunk and
+                          # keeps the inter-block activation in VMEM —
+                          # round 5, after the sigma-table glue removal
+                          # measured neutral). BENCH_FUSED_LAYER=0 reverts
+                          # to the two-kernel path.
+                          use_fused_layer=os.environ.get(
+                              "BENCH_FUSED_LAYER", "1") == "1",
+                          # the whole 12-layer DiT in ONE launch per denoise
+                          # step (fused_dit_q8c): 10 launches/chunk. Takes
+                          # precedence over use_fused_layer on the hoisted
+                          # fast path when enabled.
+                          use_megakernel=os.environ.get(
+                              "BENCH_MEGA", "0") == "1",
                           # int8 wqkv/c_proj inside the fused attention
                           # kernel (107 vs 135 us/layer) — e2e action MAE
                           # 5.2e-3 vs bf16, OVER the 1e-3 parity budget
@@ -228,8 +242,14 @@ def main():
         import dataclasses
 
         lat_fused = os.environ.get("BENCH_LAT_FUSED", "1") == "1"
+        # round 5: the DiT megakernel wins at b=1 only (6.28 vs 6.97 ms —
+        # the 240->10 launch reduction dominates when the arithmetic is
+        # tiny); at b=128 it loses (1542 vs 1769), so only the latency leg
+        # defaults to it. BENCH_LAT_MEGA=0 reverts to the per-layer kernels.
+        lat_mega = lat_fused and os.environ.get("BENCH_LAT_MEGA", "1") == "1"
         lat_agent = MoDEAgent(dataclasses.replace(
-            cfg, use_pallas_attn=lat_fused, use_int8_attn=False))
+            cfg, use_pallas_attn=lat_fused, use_int8_attn=False,
+            use_megakernel=lat_mega))
         repeat_n_lat = make_repeat_n(lat_agent)
         rs1, rg1, le1 = rgb_static[:1], rgb_gripper[:1], lang_emb[:1]
         np.asarray(repeat_n_lat(latency_variables, rs1, rg1, le1, key, 1))

@@ -78,7 +78,7 @@ _KNOWN_INNER_KEYS = {
     # product entrypoints can opt in (VERDICT r2 weak #1). See also
     # serving.apply_serving_mode for the packaged presets.
     "use_pallas_moe", "use_int8_moe", "use_grouped_moe", "use_pallas_attn",
-    "use_int8_attn",
+    "use_int8_attn", "use_fused_layer", "use_megakernel",
 }
 
 
@@ -171,6 +171,8 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
         use_grouped_moe=_bool(inner.get("use_grouped_moe"), False),
         use_pallas_attn=_bool(inner.get("use_pallas_attn"), False),
         use_int8_attn=_bool(inner.get("use_int8_attn"), False),
+        use_fused_layer=_bool(inner.get("use_fused_layer"), False),
+        use_megakernel=_bool(inner.get("use_megakernel"), False),
         # model-level TPU knob: rematerialize encoder activations in the
         # train backward (True = fit-first; False = ~8 ms/step faster at
         # flagship b=32 when HBM allows, docs/PERF.md "train step")

@@ -152,6 +152,8 @@ class MoDEAgentConfig:
     use_grouped_moe: bool = False
     use_pallas_attn: bool = False
     use_int8_attn: bool = False
+    use_fused_layer: bool = False
+    use_megakernel: bool = False
     # Inference fast-path structure (round-4 bisection knobs — docs/PERF.md
     # "b=1 latency"). hoist_chunk_invariants: compute camera/goal/sigma
     # tokens + EDM scalings once per chunk (MoDeDiT.forward_precomputed)
@@ -203,7 +205,9 @@ class MoDEAgentConfig:
             use_int8_moe=self.use_int8_moe,
             use_grouped_moe=self.use_grouped_moe,
             use_pallas_attn=self.use_pallas_attn,
-            use_int8_attn=self.use_int8_attn)
+            use_int8_attn=self.use_int8_attn,
+            use_fused_layer=self.use_fused_layer,
+            use_megakernel=self.use_megakernel)
 
 
 class MoDEAgent:
@@ -564,6 +568,19 @@ class MoDEAgent:
             scal_all = jnp.stack(edm_scalings(sched, cfg.sigma_data), axis=1)
             pre = (static_x, goal_embed, emb_all, scal_all)
 
+        mega = None
+        if (pre is not None and cfg.use_megakernel and cfg.use_int8_moe
+                and cfg.top_k == 2 and not cfg.identity_expert
+                and not cfg.use_shared_expert and not cfg.use_cross_attention
+                and (cfg.latent_dim // cfg.n_heads) % 128 == 0):
+            # the whole DiT stack in ONE pallas launch per denoise step
+            # (fused_dit_q8c): stack the per-layer weights + routing tables
+            # once per chunk, outside the sampler scan
+            stacked = self.dit.apply(fast_vars, method=_DiT.stack_layers)
+            idx_L = jnp.stack([i for i, _ in routing])     # [L, S, 2]
+            p_L = jnp.stack([p for _, p in routing])
+            mega = (stacked, idx_L, p_L)
+
         def denoiser(x, sigma, step_idx):
             on_sched = routing is not None and not (
                 isinstance(step_idx, int) and step_idx < 0)
@@ -579,10 +596,17 @@ class MoDEAgent:
                 emb_t = jnp.take(emb_all, step_idx, axis=0)[None]  # [1,1,D]
                 scal = jnp.take(scal_all, step_idx, axis=0)        # [3]
                 cs, co, ci = scal[0], scal[1], scal[2]
-                pred = self.dit.apply(
-                    fast_vars, static_x, goal_embed, emb_t,
-                    x * ci, moe_overrides=overrides,
-                    method=_DiT.forward_precomputed)
+                if mega is not None:
+                    stacked, idx_L, p_L = mega
+                    pred = self.dit.apply(
+                        fast_vars, static_x, goal_embed, emb_t, x * ci,
+                        stacked, idx_L, p_L, step_idx,
+                        method=_DiT.forward_precomputed_mega)
+                else:
+                    pred = self.dit.apply(
+                        fast_vars, static_x, goal_embed, emb_t,
+                        x * ci, moe_overrides=overrides,
+                        method=_DiT.forward_precomputed)
                 return pred * co + x * cs
 
             def inner_apply(states, scaled_actions, goal, sigma, **kw):

@@ -97,6 +97,14 @@ class MoDeDiTConfig:
     use_int8_attn: bool = False    # int8 wqkv/c_proj projections inside the
                                    # fused attention kernel (per-row act
                                    # quant in VMEM; requires use_pallas_attn)
+    use_fused_layer: bool = False  # whole-layer kernel (attn + MoE in ONE
+                                   # launch, ops/pallas/layer_kernel.py) on
+                                   # the routing-precompute inference path;
+                                   # requires use_pallas_attn + use_int8_moe
+    use_megakernel: bool = False   # the whole L-layer DiT stack in ONE
+                                   # launch (fused_dit_q8c) on the hoisted
+                                   # routing-precompute path; same
+                                   # requirements as use_fused_layer
 
     def __post_init__(self):
         if self.use_int8_attn:
@@ -172,12 +180,15 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
                  context: Optional[jax.Array] = None,
-                 fused: Optional[Tuple[jax.Array, float, jax.Array]] = None
-                 ) -> jax.Array:
+                 fused: Optional[Tuple[jax.Array, float, jax.Array]] = None,
+                 return_weights: bool = False):
         """``fused=(ln_g, ln_eps, c)`` runs the whole sub-block
         ``x + c_proj(attn(qk_norm(wqkv(rmsnorm(x)*ln_g + c))))`` through the
         fused Pallas kernel (inference only; x here is the RAW block input)
-        and returns the residual-included output."""
+        and returns the residual-included output.
+        ``return_weights=True`` instead returns the raw attention weight
+        leaves ``(wqkv, bqkv, q_g, k_g, wout)`` for the whole-layer fused
+        kernel (ops/pallas/layer_kernel.py)."""
         cfg = self.cfg
         D, H = cfg.embed_dim, cfg.n_heads
         hd = D // H
@@ -205,6 +216,13 @@ class Attention(nn.Module):
                     "quant", "attn_q",
                     lambda: tuple(quantize_attn(kqkv, bqkv, kout)))
                 qa = QuantizedAttn(*qa_var.value)
+            if return_weights:
+                assert self.causal and self.qk_norm
+                q_norm = RMSNorm(hd, eps=1e-6, name="q_norm")
+                k_norm = RMSNorm(hd, eps=1e-6, name="k_norm")
+                kqkv, bqkv = wqkv.weights()
+                kout, _ = cproj.weights()
+                return kqkv, bqkv, q_norm.scale(), k_norm.scale(), kout
             if fused is not None:
                 assert self.causal and self.qk_norm and not train
                 ln_g, ln_eps, c = fused
@@ -395,6 +413,26 @@ class NoiseBlockMoE(nn.Module):
                           # module tree) — the kernel may not even be
                           # compilable on the init host (CPU)
                           and not self.is_initializing())
+        if (cfg.use_fused_layer and use_fused_attn and moe_override is not None
+                and cfg.use_int8_moe and cfg.router_top_k == 2
+                and not cfg.identity_expert and not cfg.use_shared_expert
+                and not cfg.use_cross_attention and not cfg.use_int8_attn):
+            # the WHOLE layer (attention sub-block + ln_2 + int8 top-2 MoE +
+            # both residuals) in one pallas launch: halves the per-step
+            # kernel-launch count and keeps the inter-block activation in
+            # VMEM (ops/pallas/layer_kernel.py)
+            idx, p, *rest = moe_override
+            step = rest[0] if rest else None
+            kqkv, bqkv, qg, kg, kout = self.attn(x, return_weights=True)
+            from ..ops.pallas import runtime_interpret
+            from ..ops.pallas.layer_kernel import fused_layer_q8c
+            from ..ops.quant import QuantizedExperts
+            out = fused_layer_q8c(
+                x, c, self.ln_1.scale(), kqkv, bqkv, qg, kg, kout,
+                self.ln_2.scale(), QuantizedExperts(*self.experts_q.value),
+                idx, p, step=step, eps1=self.ln_1.eps, eps2=self.ln_2.eps,
+                interpret=runtime_interpret())
+            return out, None
         if use_fused_attn:
             # whole attention sub-block (incl. ln_1 and the residual) in one
             # Pallas kernel; ~1.6x the XLA lowering at the flagship shape
@@ -748,6 +786,55 @@ class MoDeDiT(nn.Module):
                          moe_override=ov)
         # the head reads only the trailing action tokens — normalize just
         # those (ln is per-token)
+        x = self.ln(x[:, -cfg.action_seq_len:, :])
+        return self.out(x)
+
+    # -- megakernel fast path (round 5) -----------------------------------
+    def stack_layers(self):
+        """Per-layer weight leaves stacked on a leading L axis for the DiT
+        megakernel (ops/pallas/layer_kernel.fused_dit_q8c). Reads existing
+        params/quant variables; call once per chunk (outside the sampler
+        scan) so XLA hoists the stack copies."""
+        dummy = jnp.zeros((1, 1, self.cfg.embed_dim), self.cfg.dtype)
+        attn_w = [blk.attn(dummy, return_weights=True) for blk in self.blocks]
+        kqkv, bqkv, qg, kg, kout = (jnp.stack(ws) for ws in zip(*attn_w))
+        eq = [blk.experts_q.value for blk in self.blocks]
+        w1_q, w1_s, b1, w2_q, w2_s = (jnp.stack(ws) for ws in zip(*eq))
+        return {
+            "ln1": jnp.stack([blk.ln_1.scale() for blk in self.blocks]),
+            "wqkv": kqkv, "bqkv": bqkv, "q_g": qg, "k_g": kg, "wout": kout,
+            "ln2": jnp.stack([blk.ln_2.scale() for blk in self.blocks]),
+            "w1_q": w1_q, "w1_s": w1_s, "b1": b1, "w2_q": w2_q, "w2_s": w2_s,
+        }
+
+    def forward_precomputed_mega(self, static_x: jax.Array,
+                                 goal_embed: jax.Array, emb_t: jax.Array,
+                                 actions: jax.Array, stacked,
+                                 idx_tables: jax.Array,
+                                 probs_tables: jax.Array, step):
+        """forward_precomputed with the entire 12-layer block stack replaced
+        by ONE pallas launch (fused_dit_q8c): 10 launches per denoise chunk
+        instead of 240. Same math as the per-layer kernels (pinned by
+        tests/test_pallas_layer.py)."""
+        cfg = self.cfg
+        B = actions.shape[0]
+        g, t = cfg.goal_seq_len, 1
+        pos = self.pos_emb.astype(cfg.dtype)
+        action_embed = self.action_emb(actions.astype(cfg.dtype))
+        action_x = action_embed + pos[:, (g + t - 1):, :]
+        emb_b = jnp.broadcast_to(emb_t, (B,) + emb_t.shape[1:])
+        seqs = ([emb_b] if cfg.use_noise_token_as_input else []) + \
+            [jnp.broadcast_to(static_x, (B,) + static_x.shape[1:]), action_x]
+        x = jnp.concatenate(seqs, axis=1)
+        cond_token = emb_t
+        if cfg.use_goal_in_routing:
+            cond_token = cond_token + goal_embed
+        from ..ops.pallas import runtime_interpret
+        from ..ops.pallas.layer_kernel import fused_dit_q8c
+        x = fused_dit_q8c(x, cond_token, stacked, idx_tables, probs_tables,
+                          step=step, eps1=self.blocks[0].ln_1.eps,
+                          eps2=self.blocks[0].ln_2.eps,
+                          interpret=runtime_interpret())
         x = self.ln(x[:, -cfg.action_seq_len:, :])
         return self.out(x)
 
