@@ -21,9 +21,14 @@ bench:
 # test runs don't dirty the tree) and commit. No rm -rf: that would drop the
 # entry()/dryrun blobs __graft_entry__.py relies on (advisor r4); stale
 # blobs are harmless (cache is keyed by HLO) and pruned via bench-cache-gc.
+# Only the programs the DRIVER runs (bench.py + __graft_entry__.py) are
+# committed; the ~100 MB-each train-bench executables (jit_train_n_impl)
+# stay local-only — the driver never runs bench_train.py, and committing
+# them quadrupled the repo (round 5).
 bench-cache:
 	python bench.py && python __graft_entry__.py && du -sh .jax_cache
 	git add -f .jax_cache
+	git rm -q --cached --ignore-unmatch ".jax_cache/jit_train_n_impl-*"
 
 # Drop cache blobs no current program produces: full reset, then regenerate
 # every driver-run program (bench + train bench + entry/dryrun) on the chip.
@@ -31,6 +36,7 @@ bench-cache-gc:
 	rm -rf .jax_cache
 	python bench.py && python bench_train.py && python __graft_entry__.py
 	du -sh .jax_cache && git add -f .jax_cache
+	git rm -q --cached --ignore-unmatch ".jax_cache/jit_train_n_impl-*"
 
 bench-train:
 	python bench_train.py

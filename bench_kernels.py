@@ -176,8 +176,82 @@ def bench_moe():
 
 
 
+def bench_layer():
+    """Whole-layer kernel orderings at the flagship hot shape (b=128).
+
+    The fused_layer_q8c grid is (n_tok, 2, n_h) — token block OUTERMOST —
+    so each expert weight block is re-DMA'd for every token block (8x at
+    b=128: ~190 MB/layer-step of redundant HBM traffic against the ~24 MB
+    the weights occupy). fused_dit_q8c's grid is (L, 2, n_h, n_tok) —
+    token block INNERMOST, weights stationary — so calling it with L=1
+    measures the weight-stationary ordering of the SAME fused layer.
+    L=12 measures the full megakernel per-step cost for comparison.
+    """
+    from mode_diffusion_policy_tpu.ops.pallas.attn_kernel import (
+        fused_attn_block)
+    from mode_diffusion_policy_tpu.ops.pallas.layer_kernel import (
+        fused_dit_q8c, fused_layer_q8c)
+    from mode_diffusion_policy_tpu.ops.pallas.moe_kernel import (
+        fused_top2_mlp_q8c)
+    from mode_diffusion_policy_tpu.ops.quant import quantize_experts
+
+    B, T, D, H, HH, E = 128, 14, 1024, 8, 4096, 4
+    hd = D // H
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.5, jnp.bfloat16)
+    c = jnp.asarray(rng.standard_normal((1, 1, D)) * 0.2, jnp.bfloat16)
+    ln1 = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+    ln2 = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.02, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.standard_normal(3 * D) * 0.02, jnp.float32)
+    qg = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    kg = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((D, D)) * 0.02, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((E, D, 2 * HH)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((E, 2 * HH), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, HH, D)) * 0.02, jnp.float32)
+    q = quantize_experts(w1, b1, w2)
+    idx = jnp.array([1, 3], jnp.int32)
+    p = jnp.array([0.6, 0.4], jnp.float32)
+
+    def two_kernel(x):
+        xm = fused_attn_block(x, c, ln1, wqkv, bqkv, qg, kg, wout)
+        return fused_top2_mlp_q8c(xm, idx, p, q, residual=True, ln_g=ln2)
+
+    def one_layer(x):
+        return fused_layer_q8c(x, c, ln1, wqkv, bqkv, qg, kg, wout, ln2, q,
+                               idx, p)
+
+    stacked1 = {
+        "ln1": ln1[None], "wqkv": wqkv[None], "bqkv": bqkv[None],
+        "q_g": qg[None], "k_g": kg[None], "wout": wout[None],
+        "ln2": ln2[None], "w1_q": q.w1_q[None], "w1_s": q.w1_s[None],
+        "b1": q.b1[None], "w2_q": q.w2_q[None], "w2_s": q.w2_s[None],
+    }
+
+    def mega1(x):
+        return fused_dit_q8c(x, c, stacked1, idx[None], p[None])
+
+    L = 12
+    stackedL = {k: jnp.concatenate([v] * L) for k, v in stacked1.items()}
+    idxL = jnp.broadcast_to(idx, (L, 2))
+    pL = jnp.broadcast_to(p, (L, 2))
+
+    def megaL(x):
+        return fused_dit_q8c(x, c, stackedL, idxL, pL)
+
+    t = timeit(two_kernel, x, iters=500)
+    print(f"layer two-kernel (attn + q8c MoE):   {t*1e6:.0f} us")
+    t = timeit(one_layer, x, iters=500)
+    print(f"layer fused (token-outer grid):      {t*1e6:.0f} us")
+    t = timeit(mega1, x, iters=500)
+    print(f"layer fused (weights-stationary L=1):{t*1e6:.0f} us")
+    t = timeit(megaL, x, iters=100)
+    print(f"megakernel L=12 (per layer):         {t*1e6/L:.0f} us")
+
+
 ALL = {"attn_proj": bench_attn_proj, "attn_core": bench_attn_core,
-       "encoder": bench_encoder, "moe": bench_moe}
+       "encoder": bench_encoder, "moe": bench_moe, "layer": bench_layer}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
