@@ -59,7 +59,7 @@ def _kernel(idx_ref, probs_ref, step_ref,
             # MoE operands (int8 weights + scales)
             lng2_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref,
             w2_ref, s2_ref,
-            out_ref, xmid_ref, acc_ref, *,
+            out_ref, acc_ref, xq_ref, sx_ref, *,
             T, H, hd, n_h, eps1, eps_qk, eps2, scale):
     e = pl.program_id(1)
     k = pl.program_id(2)
@@ -114,22 +114,24 @@ def _kernel(idx_ref, probs_ref, step_ref,
         y = jnp.dot(o, wout_ref[:].astype(dt),
                     preferred_element_type=jnp.float32)
         xmid32 = x32 + y
-        xmid_ref[:] = xmid32.astype(dt)
         # seed the MoE accumulator with ln_2(x_mid): the reference block
         # REPLACES x with its norm before the MoE residual
         # (x = ln_2(x); x = x + moe(x) — the norm-replaces-residual quirk,
         # matching moe_kernel's residual+ln_g semantics). Cast through dt
         # first: the two-kernel path's MoE reads x_mid from HBM in dt.
+        # The normalized row is ALSO the MoE input: quantize it once here
+        # and park int8 rows + per-row scales in scratch — recomputing
+        # rmsnorm+quant on all 2*n_h MoE revisits was ~60 us/layer-step of
+        # redundant VPU work at the flagship shape (round-5 trace).
         xm0 = xmid32.astype(dt).astype(jnp.float32)
-        acc_ref[:] = _rmsnorm_rows(xm0, lng2_ref, eps2).astype(
-            dt).astype(jnp.float32)
+        xm_dt = _rmsnorm_rows(xm0, lng2_ref, eps2).astype(dt)
+        acc_ref[:] = xm_dt.astype(jnp.float32)
+        xq0, sx0 = _qrows(xm_dt.astype(jnp.float32))
+        xq_ref[:] = xq0
+        sx_ref[:] = jnp.broadcast_to(sx0, sx_ref.shape)
 
     # ---- MoE (int8 x int8), 2 experts x n_h hidden blocks -------------
-    # recomputed per revisit (VPU-trivial), cast through the compute dtype
-    # exactly like moe_kernel._prenorm so the two paths stay bit-comparable
-    xm = _rmsnorm_rows(xmid_ref[:].astype(jnp.float32), lng2_ref,
-                       eps2).astype(dt)
-    xq, sx = _qrows(xm.astype(jnp.float32))
+    xq, sx = xq_ref[:], sx_ref[:, 0:1]
     value = _dot_i8(xq, w1v_ref[0]).astype(jnp.float32)
     value = value * (sx * s1v_ref[0, 0][None, :]) \
         + b1v_ref[0, 0].astype(jnp.float32)
@@ -220,8 +222,9 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
         ],
         out_specs=pl.BlockSpec((TM, D),
                                lambda i, e, k, idx, probs, st: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((TM, D), x.dtype),       # x_mid
-                        pltpu.VMEM((TM, D), jnp.float32)],  # accumulator
+        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32),   # accumulator
+                        pltpu.VMEM((TM, D), jnp.int8),      # quantized rows
+                        pltpu.VMEM((TM, 128), jnp.float32)],  # row scales
     )
     out_call = pl.pallas_call(
         functools.partial(_kernel, T=T, H=H, hd=hd, n_h=n_h, eps1=eps1,
@@ -269,7 +272,7 @@ def _mega_kernel(idx_ref, probs_ref, step_ref,
                  x_ref, c_ref, ln1_ref, wqkv_ref, bqkv_ref, qgt_ref, kgt_ref,
                  wout_ref, ln2_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
                  b1v_ref, b1g_ref, w2_ref, s2_ref,
-                 out_ref, xcur_ref, xmid_ref, acc_ref, *,
+                 out_ref, xcur_ref, acc_ref, xq_ref, sx_ref, *,
                  T, H, hd, n_h, n_layers, TM, eps1, eps_qk, eps2, scale):
     lyr = pl.program_id(0)
     e = pl.program_id(1)
@@ -329,17 +332,19 @@ def _mega_kernel(idx_ref, probs_ref, step_ref,
         y = jnp.dot(o, wout_ref[0].astype(dt),
                     preferred_element_type=jnp.float32)
         xmid32 = x32 + y
-        xmid_ref[sl, :] = xmid32.astype(dt)
         # ln_2(x_mid) seeds the accumulator (norm-replaces-residual quirk),
-        # cast through dt to match the per-layer kernels bit-for-bit
+        # cast through dt to match the per-layer kernels bit-for-bit; the
+        # normalized row is also quantized ONCE here for all 2*n_h MoE
+        # revisits (same redundancy fix as _kernel)
         xm0 = xmid32.astype(dt).astype(jnp.float32)
-        acc_ref[sl, :] = _rmsnorm_rows(xm0, ln2_ref[0], eps2).astype(
-            dt).astype(jnp.float32)
+        xm_dt = _rmsnorm_rows(xm0, ln2_ref[0], eps2).astype(dt)
+        acc_ref[sl, :] = xm_dt.astype(jnp.float32)
+        xq0, sx0 = _qrows(xm_dt.astype(jnp.float32))
+        xq_ref[sl, :] = xq0
+        sx_ref[sl, :] = jnp.broadcast_to(sx0, (TM, sx_ref.shape[1]))
 
     # ---- MoE (int8 x int8) -------------------------------------------
-    xm = _rmsnorm_rows(xmid_ref[sl, :].astype(jnp.float32), ln2_ref[0],
-                       eps2).astype(dt)
-    xq, sx = _qrows(xm.astype(jnp.float32))
+    xq, sx = xq_ref[sl, :], sx_ref[sl, 0:1]
     value = _dot_i8(xq, w1v_ref[0, 0]).astype(jnp.float32)
     value = value * (sx * s1v_ref[0, 0, 0][None, :]) \
         + b1v_ref[0, 0, 0].astype(jnp.float32)
@@ -456,8 +461,9 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
         out_specs=pl.BlockSpec((N, D),
                                lambda l, e, k, i, idx, probs, st: (0, 0)),
         scratch_shapes=[pltpu.VMEM((N, D), x.dtype),       # x_cur
-                        pltpu.VMEM((N, D), x.dtype),       # x_mid
-                        pltpu.VMEM((N, D), jnp.float32)],  # accumulator
+                        pltpu.VMEM((N, D), jnp.float32),   # accumulator
+                        pltpu.VMEM((N, D), jnp.int8),      # quantized rows
+                        pltpu.VMEM((N, 128), jnp.float32)],  # row scales
     )
     out_call = pl.pallas_call(
         functools.partial(_mega_kernel, T=T, H=H, hd=hd, n_h=n_h,

@@ -317,19 +317,27 @@ def _dot_i8(a, b):
 
 def _kernel_q8c(idx_ref, probs_ref, step_ref, x_ref, lng_ref, w1v_ref,
                 w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref,
-                out_ref, acc_ref, *, residual, n_h, ln_input, ln_eps):
+                out_ref, acc_ref, xq_ref, sx_ref, *, residual, n_h, ln_input,
+                ln_eps):
     e = pl.program_id(1)
     k = pl.program_id(2)
-    x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
 
+    # prenorm + per-row int8 quantization ONCE per token block (first grid
+    # visit), parked in scratch for all 2*n_h expert/hidden revisits —
+    # recomputing them per revisit was ~60 us/layer-step of redundant VPU
+    # work at the flagship shape (round-5 trace; same fix as layer_kernel)
     @pl.when(jnp.logical_and(e == 0, k == 0))
     def _():
+        x = _prenorm(x_ref, lng_ref, ln_input, ln_eps)
         if residual:
             acc_ref[:] = x.astype(jnp.float32)
         else:
             acc_ref[:] = jnp.zeros_like(acc_ref)
+        xq0, sx0 = _quant_rows(x.astype(jnp.float32))
+        xq_ref[:] = xq0
+        sx_ref[:] = jnp.broadcast_to(sx0, sx_ref.shape)
 
-    xq, sx = _quant_rows(x.astype(jnp.float32))
+    xq, sx = xq_ref[:], sx_ref[:, 0:1]
     value = _dot_i8(xq, w1v_ref[0]).astype(jnp.float32)
     value = value * (sx * s1v_ref[0, 0][None, :]) \
         + b1v_ref[0, 0].astype(jnp.float32)
@@ -404,7 +412,9 @@ def fused_top2_mlp_q8c(x: jax.Array, top2_idx: jax.Array,
         ],
         out_specs=pl.BlockSpec((TM, D),
                                lambda i, e, k, idx, probs, st: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TM, D), jnp.float32),
+                        pltpu.VMEM((TM, D), jnp.int8),
+                        pltpu.VMEM((TM, 128), jnp.float32)],
     )
     out_call = pl.pallas_call(
         functools.partial(_kernel_q8c, residual=residual, n_h=n_h,

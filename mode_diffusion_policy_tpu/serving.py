@@ -14,15 +14,16 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
 - ``reference``       plain XLA bf16/f32 graph, no Pallas — the strict
                       bit-for-bit baseline (~966 chunks/s).
 - ``parity``          int8 MoE + fused attention composed as the whole-layer
-                      kernel (round 5) + BN-folded encoders: 1769 chunks/s,
-                      action MAE vs bf16 6e-5 (20x under the 1e-3 budget).
+                      kernel with the quant-scratch fix (round 5) + BN-folded
+                      encoders: 1880 chunks/s, action MAE vs bf16 6e-5
+                      (20x under the 1e-3 budget).
 - ``max-throughput``  parity + int8 encoder convs + int8 attention
                       projections: 1947 chunks/s, action MAE ~6e-3 — over
                       the parity budget; validate on your checkpoint's task
                       metric before serving.
 - ``b1-latency``      int8 MoE + folded bf16 encoders + the DiT megakernel
                       (whole 12-layer stack in one pallas launch per denoise
-                      step, on bf16-precast weights): 6.28 ms per 10-step
+                      step, on bf16-precast weights): 6.3-6.8 ms per 10-step
                       chunk measured (round 5; 6.97 on the per-layer fused
                       kernel, 7.2 on the two-kernel path).
 - ``auto``            ``parity`` on TPU, ``reference`` elsewhere (off-TPU
@@ -80,9 +81,10 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
     top2 = (cfg.top_k - (1 if cfg.use_shared_expert else 0)) == 2
 
     flags = dict(use_pallas_moe=top2, use_int8_moe=top2)
-    # round 5: whole-layer kernel (attention + int8 MoE in one launch) on
-    # the routing-precompute path — measured 1769 vs 1730 chunks/s at b=128
-    # and 6.97 vs 7.2-7.6 ms at b=1, same math as the two-kernel path
+    # round 5: whole-layer kernel (attention + int8 MoE in one launch, with
+    # the MoE input quantized once per token block into VMEM scratch) on
+    # the routing-precompute path — measured 1880 vs 1719 chunks/s at b=128
+    # same-session, same math as the two-kernel path
     # (tests/test_pallas_layer.py); eligible whenever both fused halves are
     fused_layer = (top2 and fusable_attn and not cfg.identity_expert
                    and not cfg.use_shared_expert
@@ -94,10 +96,10 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
         # measured — docs/PERF.md "b=1 latency"); int8 attention stays off
         # (parity) and int8 encoders stay off (quant overhead loses at b=1).
         # Round 5: the DiT megakernel (whole 12-layer stack in one launch,
-        # fused_dit_q8c) wins at b=1 ONLY — 6.28 vs 6.97 ms, launch overhead
-        # dominates there; at b=128 it LOSES (1542 vs 1769 chunks/s, the
-        # serialized layers beat XLA's inter-launch overlap) so the
-        # throughput modes stay on the per-layer fused kernel.
+        # fused_dit_q8c) wins at b=1 ONLY — 6.3-6.8 vs 6.97 ms, launch
+        # overhead dominates there; at b=128 it LOSES (1542 vs 1769 pre-
+        # scratch-fix, the serialized layers forfeit XLA's inter-launch
+        # overlap) so the throughput modes stay on the per-layer kernel.
         flags.update(use_pallas_attn=fusable_attn, use_int8_attn=False,
                      use_fused_layer=fused_layer,
                      use_megakernel=fused_layer)
