@@ -156,6 +156,11 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
                     q_g: jax.Array, k_g: jax.Array, wout: jax.Array,
                     ln2_g: jax.Array, qexp, top2_idx: jax.Array,
                     top2_probs: jax.Array, *, step: jax.Array = None,
+                    # round-5 flagship sweeps (R5_MEASURE.log r5j/r5k):
+                    # micro 32-sample blocks measured 422 vs 431 us at 16
+                    # (8: 651, 64: 794; block_hidden 512/2048/4096 all
+                    # worse) but e2e 32 was SLOWER (70.2 ms vs 68.1-68.6),
+                    # so the default stays at the e2e-validated 16
                     block_samples: int = 16, block_hidden: int = 1024,
                     eps1: float = 1e-6, eps_qk: float = 1e-6,
                     eps2: float = 1e-6,

@@ -17,8 +17,9 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
                       kernel with the quant-scratch fix (round 5) + BN-folded
                       encoders: 1880 chunks/s, action MAE vs bf16 6e-5
                       (20x under the 1e-3 budget).
-- ``max-throughput``  parity + int8 encoder convs + int8 attention
-                      projections: 1947 chunks/s, action MAE ~6e-3 — over
+- ``max-throughput``  int8 attention projections (two-kernel path) + int8
+                      encoder convs: 2134 chunks/s (round-5 re-measure on
+                      the quant-scratch kernels), action MAE ~6e-3 — over
                       the parity budget; validate on your checkpoint's task
                       metric before serving.
 - ``b1-latency``      int8 MoE + folded bf16 encoders + the DiT megakernel
