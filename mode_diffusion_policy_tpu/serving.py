@@ -24,9 +24,9 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
                       metric before serving.
 - ``b1-latency``      int8 MoE + folded bf16 encoders + the DiT megakernel
                       (whole 12-layer stack in one pallas launch per denoise
-                      step, on bf16-precast weights): 6.3-6.8 ms per 10-step
-                      chunk measured (round 5; 6.97 on the per-layer fused
-                      kernel, 7.2 on the two-kernel path).
+                      step, on bf16-precast weights): 6.2 ms per 10-step
+                      chunk (50-iter differencing, round 5; 6.9 on the
+                      per-layer fused kernel, 7.2 two-kernel round 4).
 - ``auto``            ``parity`` on TPU, ``reference`` elsewhere (off-TPU
                       the Pallas kernels run in interpret mode — correct but
                       slow, for tests/debug only).
