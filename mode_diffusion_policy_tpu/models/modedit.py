@@ -220,6 +220,10 @@ class Attention(nn.Module):
                 assert self.causal and self.qk_norm
                 q_norm = RMSNorm(hd, eps=1e-6, name="q_norm")
                 k_norm = RMSNorm(hd, eps=1e-6, name="k_norm")
+                if qa is not None:
+                    # int8 projections: the whole-layer kernel takes the
+                    # QuantizedAttn tuple instead of raw weights
+                    return qa, q_norm.scale(), k_norm.scale()
                 kqkv, bqkv = wqkv.weights()
                 kout, _ = cproj.weights()
                 return kqkv, bqkv, q_norm.scale(), k_norm.scale(), kout
@@ -416,22 +420,30 @@ class NoiseBlockMoE(nn.Module):
         if (cfg.use_fused_layer and use_fused_attn and moe_override is not None
                 and cfg.use_int8_moe and cfg.router_top_k == 2
                 and not cfg.identity_expert and not cfg.use_shared_expert
-                and not cfg.use_cross_attention and not cfg.use_int8_attn):
+                and not cfg.use_cross_attention):
             # the WHOLE layer (attention sub-block + ln_2 + int8 top-2 MoE +
             # both residuals) in one pallas launch: halves the per-step
             # kernel-launch count and keeps the inter-block activation in
-            # VMEM (ops/pallas/layer_kernel.py)
+            # VMEM (ops/pallas/layer_kernel.py). With use_int8_attn the
+            # attention projections run as int8 MXU dots inside the same
+            # launch (round-5 max-throughput path).
             idx, p, *rest = moe_override
             step = rest[0] if rest else None
-            kqkv, bqkv, qg, kg, kout = self.attn(x, return_weights=True)
+            attn_w = self.attn(x, return_weights=True)
             from ..ops.pallas import runtime_interpret
             from ..ops.pallas.layer_kernel import fused_layer_q8c
             from ..ops.quant import QuantizedExperts
+            if len(attn_w) == 3:            # int8 projections (QuantizedAttn)
+                qa, qg, kg = attn_w
+                kqkv = bqkv = kout = None
+            else:
+                kqkv, bqkv, qg, kg, kout = attn_w
+                qa = None
             out = fused_layer_q8c(
                 x, c, self.ln_1.scale(), kqkv, bqkv, qg, kg, kout,
                 self.ln_2.scale(), QuantizedExperts(*self.experts_q.value),
-                idx, p, step=step, eps1=self.ln_1.eps, eps2=self.ln_2.eps,
-                interpret=runtime_interpret())
+                idx, p, step=step, qattn=qa, eps1=self.ln_1.eps,
+                eps2=self.ln_2.eps, interpret=runtime_interpret())
             return out, None
         if use_fused_attn:
             # whole attention sub-block (incl. ln_1 and the residual) in one

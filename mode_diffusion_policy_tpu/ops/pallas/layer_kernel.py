@@ -53,14 +53,16 @@ def _dot_i8(a, b):
 
 
 def _kernel(idx_ref, probs_ref, step_ref,
-            # attention operands
-            x_ref, c_ref, lng1_ref, wqkv_ref, bqkv_ref, qgt_ref, kgt_ref,
-            wout_ref,
+            # attention operands (wqkv/wout are int8 when int8_attn, with
+            # the per-output-channel scale rows sqkv/sout; bf16 otherwise,
+            # scales passed as ignored dummies)
+            x_ref, c_ref, lng1_ref, wqkv_ref, sqkv_ref, bqkv_ref, qgt_ref,
+            kgt_ref, wout_ref, sout_ref,
             # MoE operands (int8 weights + scales)
             lng2_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref,
             w2_ref, s2_ref,
             out_ref, acc_ref, xq_ref, sx_ref, *,
-            T, H, hd, n_h, eps1, eps_qk, eps2, scale):
+            T, H, hd, n_h, eps1, eps_qk, eps2, scale, int8_attn=False):
     e = pl.program_id(1)
     k = pl.program_id(2)
     D = H * hd
@@ -73,11 +75,20 @@ def _kernel(idx_ref, probs_ref, step_ref,
         x32 = x_ref[:].astype(jnp.float32)
         h = _rmsnorm_rows(x32, lng1_ref, eps1)
         c = c_ref[0] if c_ref.shape[0] == 1 else c_ref[:]
-        h = (h + c.astype(jnp.float32)).astype(dt)
-
-        qkv = jnp.dot(h, wqkv_ref[:].astype(dt),
-                      preferred_element_type=jnp.float32)
-        qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+        if int8_attn:
+            # per-row dynamic activation quant + int8 MXU dot, exactly the
+            # attn_kernel._kernel_q8 math (the per-head QK-RMSNorm divides
+            # the q/k scale error back out)
+            h32 = h + c.astype(jnp.float32)
+            hq, hs = _qrows(h32)
+            qkv = _dot_i8(hq, wqkv_ref[:]).astype(jnp.float32) \
+                * (hs * sqkv_ref[0][None, :]) \
+                + bqkv_ref[0].astype(jnp.float32)
+        else:
+            h = (h + c.astype(jnp.float32)).astype(dt)
+            qkv = jnp.dot(h, wqkv_ref[:].astype(dt),
+                          preferred_element_type=jnp.float32)
+            qkv = qkv + bqkv_ref[0].astype(jnp.float32)
         q, kk, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
         col_head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
@@ -110,9 +121,15 @@ def _kernel(idx_ref, probs_ref, step_ref,
             a = jax.nn.softmax(sc, axis=1).astype(dt)
             outs.append(jnp.dot(a, v[:, sl],
                                 preferred_element_type=jnp.float32))
-        o = jnp.concatenate(outs, axis=1).astype(dt)
-        y = jnp.dot(o, wout_ref[:].astype(dt),
-                    preferred_element_type=jnp.float32)
+        if int8_attn:
+            o = jnp.concatenate(outs, axis=1)            # [TM, D] f32
+            oq, os_ = _qrows(o)
+            y = _dot_i8(oq, wout_ref[:]).astype(jnp.float32) \
+                * (os_ * sout_ref[0][None, :])
+        else:
+            o = jnp.concatenate(outs, axis=1).astype(dt)
+            y = jnp.dot(o, wout_ref[:].astype(dt),
+                        preferred_element_type=jnp.float32)
         xmid32 = x32 + y
         # seed the MoE accumulator with ln_2(x_mid): the reference block
         # REPLACES x with its norm before the MoE residual
@@ -156,6 +173,7 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
                     q_g: jax.Array, k_g: jax.Array, wout: jax.Array,
                     ln2_g: jax.Array, qexp, top2_idx: jax.Array,
                     top2_probs: jax.Array, *, step: jax.Array = None,
+                    qattn=None,
                     # round-5 flagship sweeps (R5_MEASURE.log r5j/r5k):
                     # micro 32-sample blocks measured 422 vs 431 us at 16
                     # (8: 651, 64: 794; block_hidden 512/2048/4096 all
@@ -172,8 +190,18 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
     per-head QK-norm scales, wout [D,D]; ``qexp`` an ops.quant.
     QuantizedExperts; top2_idx/probs the per-sigma routing tables ([S,2] or
     single rows [2]) with a traced ``step`` row selector.
+    ``qattn`` (an ops.quant.QuantizedAttn) switches the attention
+    projections to int8 MXU dots with per-row activation quant — the
+    max-throughput preset; wqkv/bqkv/wout are then ignored (pass None).
     Returns x + attn_block(x) + moe(ln2(x + attn_block(x))) in x.dtype."""
     from .attn_kernel import _block_layout
+
+    if qattn is not None:
+        wqkv, bqkv, wout = qattn.wqkv_q, qattn.bqkv, qattn.wout_q
+        sqkv, sout = qattn.wqkv_s, qattn.wout_s
+    else:
+        sqkv = jnp.zeros((3 * x.shape[-1],), jnp.float32)
+        sout = jnp.zeros((x.shape[-1],), jnp.float32)
 
     B, T, D = x.shape
     hd = q_g.shape[-1]
@@ -201,9 +229,11 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
             pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((D, 3 * D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, 3 * D), lambda i, e, k, idx, probs, st: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((D, D), lambda i, e, k, idx, probs, st: (0, 0)),
+            pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D), lambda i, e, k, idx, probs, st: (0, 0)),
             pl.BlockSpec((1, D, TH),
                          lambda i, e, k, idx, probs, st: (idx[st[0], e], 0, k)),
@@ -234,7 +264,8 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
     out_call = pl.pallas_call(
         functools.partial(_kernel, T=T, H=H, hd=hd, n_h=n_h, eps1=eps1,
                           eps_qk=eps_qk, eps2=eps2,
-                          scale=float(1.0 / np.sqrt(hd))),
+                          scale=float(1.0 / np.sqrt(hd)),
+                          int8_attn=qattn is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
         interpret=interpret,
@@ -252,7 +283,8 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
     idx_t, probs_t, step_t = _norm_tables(top2_idx, top2_probs, step)
     out = out_call(idx_t, probs_t, step_t,
                    xf, cf, ln1_g.astype(jnp.float32)[None, :], wqkv,
-                   bqkv[None, :], qgt, kgt, wout,
+                   sqkv[None, :], bqkv[None, :], qgt, kgt, wout,
+                   sout[None, :],
                    ln2_g.astype(jnp.float32)[None, :],
                    qexp.w1_q, qexp.w1_q, qexp.w1_s[:, None, :],
                    qexp.w1_s[:, None, :], qexp.b1[:, None, :],

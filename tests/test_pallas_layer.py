@@ -107,6 +107,55 @@ def test_fused_layer_through_model():
                                rtol=1e-3)
 
 
+def test_fused_layer_int8_attn_matches_two_kernels():
+    """qattn= switches the in-kernel attention projections to int8; must
+    match the fused_attn_block_q8 + MoE two-kernel composition."""
+    from mode_diffusion_policy_tpu.ops.pallas.attn_kernel import (
+        fused_attn_block_q8)
+    from mode_diffusion_policy_tpu.ops.quant import quantize_attn
+
+    x, c, ln1, wqkv, bqkv, qg, kg, wout, ln2, q = _setup(seed=4)
+    qa = quantize_attn(wqkv, bqkv, wout)
+    idx = jnp.asarray([0, 2], jnp.int32)
+    p = jnp.asarray([0.7, 0.3], jnp.float32)
+    xm = fused_attn_block_q8(x, c, ln1, qa, qg, kg, block_samples=4,
+                             interpret=True)
+    want = fused_top2_mlp_q8c(xm, idx, p, q, residual=True, ln_g=ln2,
+                              block_tokens=56, block_hidden=128,
+                              interpret=True)
+    got = fused_layer_q8c(x, c, ln1, None, None, qg, kg, None, ln2, q,
+                          idx, p, qattn=qa, block_samples=4,
+                          block_hidden=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_fused_layer_int8_attn_through_model():
+    """use_fused_layer + use_int8_attn agent == the two-kernel int8-attn
+    agent on the routing-precompute fast path (CPU interpret)."""
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    kw = dict(latent_dim=256, n_layers=2, n_heads=2, cond_dim=64,
+              resnet_type="18", use_int8_moe=True, use_pallas_attn=True,
+              use_int8_attn=True)
+    a_ref = MoDEAgent(MoDEAgentConfig(**kw))
+    a_fl = MoDEAgent(MoDEAgentConfig(**kw, use_fused_layer=True))
+    v = a_ref.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    v = a_ref.quantize_for_inference(v)
+    rng = np.random.default_rng(0)
+    emb = {"state_images": jnp.asarray(rng.standard_normal((4, 2, 512)),
+                                       jnp.float32)}
+    lang = jnp.asarray(rng.standard_normal((4, 1, 64)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = a_ref.denoise_actions(v, emb, lang, key, inference=True,
+                                use_routing_precompute=True)
+    got = a_fl.denoise_actions(v, emb, lang, key, inference=True,
+                               use_routing_precompute=True)
+    assert got.shape == (4, 10, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
+
+
 def test_megakernel_through_model():
     """use_megakernel=True agent denoise == the default-kernel agent on the
     routing-precompute fast path (CPU interpret)."""
