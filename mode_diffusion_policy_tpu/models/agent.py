@@ -572,9 +572,6 @@ class MoDEAgent:
         if (pre is not None and cfg.use_megakernel and cfg.use_int8_moe
                 and cfg.top_k == 2 and not cfg.identity_expert
                 and not cfg.use_shared_expert and not cfg.use_cross_attention
-                # int8 attn projections are a fused_layer_q8c-only feature;
-                # stack_layers expects raw bf16 attention weights
-                and not cfg.use_int8_attn
                 and (cfg.latent_dim // cfg.n_heads) % 128 == 0):
             # the whole DiT stack in ONE pallas launch per denoise step
             # (fused_dit_q8c): stack the per-layer weights + routing tables

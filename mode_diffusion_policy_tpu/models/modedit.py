@@ -809,12 +809,23 @@ class MoDeDiT(nn.Module):
         scan) so XLA hoists the stack copies."""
         dummy = jnp.zeros((1, 1, self.cfg.embed_dim), self.cfg.dtype)
         attn_w = [blk.attn(dummy, return_weights=True) for blk in self.blocks]
-        kqkv, bqkv, qg, kg, kout = (jnp.stack(ws) for ws in zip(*attn_w))
+        if len(attn_w[0]) == 3:      # int8 projections (QuantizedAttn)
+            qa, qg, kg = zip(*attn_w)
+            attn = {"wqkv": jnp.stack([a.wqkv_q for a in qa]),
+                    "sqkv": jnp.stack([a.wqkv_s for a in qa]),
+                    "bqkv": jnp.stack([a.bqkv for a in qa]),
+                    "wout": jnp.stack([a.wout_q for a in qa]),
+                    "sout": jnp.stack([a.wout_s for a in qa]),
+                    "q_g": jnp.stack(qg), "k_g": jnp.stack(kg)}
+        else:
+            kqkv, bqkv, qg, kg, kout = (jnp.stack(ws) for ws in zip(*attn_w))
+            attn = {"wqkv": kqkv, "bqkv": bqkv, "q_g": qg, "k_g": kg,
+                    "wout": kout}
         eq = [blk.experts_q.value for blk in self.blocks]
         w1_q, w1_s, b1, w2_q, w2_s = (jnp.stack(ws) for ws in zip(*eq))
         return {
             "ln1": jnp.stack([blk.ln_1.scale() for blk in self.blocks]),
-            "wqkv": kqkv, "bqkv": bqkv, "q_g": qg, "k_g": kg, "wout": kout,
+            **attn,
             "ln2": jnp.stack([blk.ln_2.scale() for blk in self.blocks]),
             "w1_q": w1_q, "w1_s": w1_s, "b1": b1, "w2_q": w2_q, "w2_s": w2_s,
         }

@@ -306,11 +306,12 @@ def fused_layer_q8c(x: jax.Array, c: jax.Array,
 
 
 def _mega_kernel(idx_ref, probs_ref, step_ref,
-                 x_ref, c_ref, ln1_ref, wqkv_ref, bqkv_ref, qgt_ref, kgt_ref,
-                 wout_ref, ln2_ref, w1v_ref, w1g_ref, s1v_ref, s1g_ref,
-                 b1v_ref, b1g_ref, w2_ref, s2_ref,
+                 x_ref, c_ref, ln1_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                 qgt_ref, kgt_ref, wout_ref, sout_ref, ln2_ref, w1v_ref,
+                 w1g_ref, s1v_ref, s1g_ref, b1v_ref, b1g_ref, w2_ref, s2_ref,
                  out_ref, xcur_ref, acc_ref, xq_ref, sx_ref, *,
-                 T, H, hd, n_h, n_layers, TM, eps1, eps_qk, eps2, scale):
+                 T, H, hd, n_h, n_layers, TM, eps1, eps_qk, eps2, scale,
+                 int8_attn=False):
     lyr = pl.program_id(0)
     e = pl.program_id(1)
     k = pl.program_id(2)
@@ -328,11 +329,17 @@ def _mega_kernel(idx_ref, probs_ref, step_ref,
         x32 = xcur_ref[sl, :].astype(jnp.float32)
         h = _rmsnorm_rows(x32, ln1_ref[0], eps1)
         c = c_ref[0] if c_ref.shape[0] == 1 else c_ref[sl, :]
-        h = (h + c.astype(jnp.float32)).astype(dt)
-
-        qkv = jnp.dot(h, wqkv_ref[0].astype(dt),
-                      preferred_element_type=jnp.float32)
-        qkv = qkv + bqkv_ref[0, 0].astype(jnp.float32)
+        if int8_attn:
+            h32 = h + c.astype(jnp.float32)
+            hq, hs = _qrows(h32)
+            qkv = _dot_i8(hq, wqkv_ref[0]).astype(jnp.float32) \
+                * (hs * sqkv_ref[0, 0][None, :]) \
+                + bqkv_ref[0, 0].astype(jnp.float32)
+        else:
+            h = (h + c.astype(jnp.float32)).astype(dt)
+            qkv = jnp.dot(h, wqkv_ref[0].astype(dt),
+                          preferred_element_type=jnp.float32)
+            qkv = qkv + bqkv_ref[0, 0].astype(jnp.float32)
         q, kk, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
         col_head = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
@@ -365,9 +372,15 @@ def _mega_kernel(idx_ref, probs_ref, step_ref,
             a = jax.nn.softmax(sc, axis=1).astype(dt)
             outs.append(jnp.dot(a, v[:, hsl],
                                 preferred_element_type=jnp.float32))
-        o = jnp.concatenate(outs, axis=1).astype(dt)
-        y = jnp.dot(o, wout_ref[0].astype(dt),
-                    preferred_element_type=jnp.float32)
+        if int8_attn:
+            o = jnp.concatenate(outs, axis=1)            # f32
+            oq, os_ = _qrows(o)
+            y = _dot_i8(oq, wout_ref[0]).astype(jnp.float32) \
+                * (os_ * sout_ref[0, 0][None, :])
+        else:
+            o = jnp.concatenate(outs, axis=1).astype(dt)
+            y = jnp.dot(o, wout_ref[0].astype(dt),
+                        preferred_element_type=jnp.float32)
         xmid32 = x32 + y
         # ln_2(x_mid) seeds the accumulator (norm-replaces-residual quirk),
         # cast through dt to match the per-layer kernels bit-for-bit; the
@@ -420,9 +433,15 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
     bqkv [L,3D], q_g/k_g [L,hd], wout [L,D,D], ln2 [L,D], and the int8
     experts w1_q [L,E,D,2H], w1_s [L,E,2H], b1 [L,E,2H], w2_q [L,E,H,D],
     w2_s [L,E,D]. ``top2_idx/probs`` are the per-layer sigma tables
-    [L,S,2] (or [L,2] single rows) with a traced ``step`` selector."""
+    [L,S,2] (or [L,2] single rows) with a traced ``step`` selector.
+
+    When ``stacked`` carries int8 attention projections (keys "sqkv"/"sout"
+    with int8 "wqkv"/"wout" — stack_layers under use_int8_attn), the
+    projections run as int8 MXU dots: the b=1 chunk is weight-DMA-bound
+    and the attention weights shrink 4x."""
     from .attn_kernel import _block_layout
 
+    int8_attn = "sqkv" in stacked
     B, T, D = x.shape
     hd = stacked["q_g"].shape[-1]
     H = D // hd
@@ -462,11 +481,15 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
             pl.BlockSpec((1, 1, 3 * D),
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * D),
+                         lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
             pl.BlockSpec((1, 1, D),
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
             pl.BlockSpec((1, 1, D),
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
             pl.BlockSpec((1, D, D),
+                         lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
+            pl.BlockSpec((1, 1, D),
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
             pl.BlockSpec((1, 1, D),
                          lambda l, e, k, i, idx, probs, st: (l, 0, 0)),
@@ -505,7 +528,8 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
     out_call = pl.pallas_call(
         functools.partial(_mega_kernel, T=T, H=H, hd=hd, n_h=n_h,
                           n_layers=L, TM=TM, eps1=eps1, eps_qk=eps_qk,
-                          eps2=eps2, scale=float(1.0 / np.sqrt(hd))),
+                          eps2=eps2, scale=float(1.0 / np.sqrt(hd)),
+                          int8_attn=int8_attn),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
         interpret=interpret,
@@ -522,10 +546,15 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
         ),
     )
     bq = stacked["bqkv"][:, None, :]
+    L_ = stacked["wqkv"].shape[0]
+    sqkv = (stacked["sqkv"] if int8_attn
+            else jnp.zeros((L_, 3 * D), jnp.float32))[:, None, :]
+    sout = (stacked["sout"] if int8_attn
+            else jnp.zeros((L_, D), jnp.float32))[:, None, :]
     out = out_call(idx, probs, step_t,
                    xf, cf, stacked["ln1"].astype(jnp.float32)[:, None, :],
                    stacked["wqkv"],
-                   bq, qgt, kgt, stacked["wout"],
+                   sqkv, bq, qgt, kgt, stacked["wout"], sout,
                    stacked["ln2"].astype(jnp.float32)[:, None, :],
                    stacked["w1_q"], stacked["w1_q"],
                    stacked["w1_s"][:, :, None, :], stacked["w1_s"][:, :, None, :],

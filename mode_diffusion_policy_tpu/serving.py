@@ -27,6 +27,11 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
                       step, on bf16-precast weights): 6.2 ms per 10-step
                       chunk (50-iter differencing, round 5; 6.9 on the
                       per-layer fused kernel, 7.2 two-kernel round 4).
+- ``b1-latency-max``  b1-latency + int8 attention projections inside the
+                      megakernel: 5.5 ms/chunk (0.55 ms/env-step) — the b=1
+                      chunk is weight-DMA-bound and int8 shrinks the attn
+                      weights 4x. Action MAE ~5.2e-3 like max-throughput:
+                      over the parity budget, validate before serving.
 - ``auto``            ``parity`` on TPU, ``reference`` elsewhere (off-TPU
                       the Pallas kernels run in interpret mode — correct but
                       slow, for tests/debug only).
@@ -40,7 +45,7 @@ from typing import Optional, Tuple
 logger = logging.getLogger(__name__)
 
 SERVING_MODES = ("reference", "parity", "max-throughput", "b1-latency",
-                 "auto")
+                 "b1-latency-max", "auto")
 
 
 def resolve_serving_mode(mode: str) -> str:
@@ -90,7 +95,7 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
     fused_layer = (top2 and fusable_attn and not cfg.identity_expert
                    and not cfg.use_shared_expert
                    and not cfg.use_cross_attention)
-    if mode == "b1-latency":
+    if mode in ("b1-latency", "b1-latency-max"):
         # round 4: with the serving-time bf16 weight precast
         # (RolloutPolicy / precast_for_serving) the fused attention kernel's
         # per-step weight DMA halves and it WINS at batch 1 (7.2 vs 8.8 ms
@@ -101,7 +106,10 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
         # overhead dominates there; at b=128 it LOSES (1542 vs 1769 pre-
         # scratch-fix, the serialized layers forfeit XLA's inter-launch
         # overlap) so the throughput modes stay on the per-layer kernel.
-        flags.update(use_pallas_attn=fusable_attn, use_int8_attn=False,
+        # -max: int8 attention projections inside the megakernel (5.5 vs
+        # 6.2 ms measured) — over the parity budget, opt-in by name
+        flags.update(use_pallas_attn=fusable_attn,
+                     use_int8_attn=(mode == "b1-latency-max" and fusable_attn),
                      use_fused_layer=fused_layer,
                      use_megakernel=fused_layer)
     else:
@@ -112,7 +120,7 @@ def apply_serving_mode(agent, variables, mode: str, *, calib_batch=None
         logger.warning("serving mode %s: routed top-k=%d outside the fused "
                        "top-2 kernel — MoE stays on the XLA gather path",
                        mode, cfg.top_k - (1 if cfg.use_shared_expert else 0))
-    if not fusable_attn and mode != "b1-latency":
+    if not fusable_attn and not mode.startswith("b1-latency"):
         logger.warning("serving mode %s: head_dim=%d not a lane multiple — "
                        "attention stays on the XLA path", mode, head_dim)
 

@@ -156,6 +156,32 @@ def test_fused_layer_int8_attn_through_model():
                                rtol=1e-3)
 
 
+def test_megakernel_int8_attn_through_model():
+    """use_megakernel + use_int8_attn == the two-kernel int8-attn agent
+    (stack_layers stacks the QuantizedAttn leaves; CPU interpret)."""
+    from mode_diffusion_policy_tpu.models.agent import (MoDEAgent,
+                                                        MoDEAgentConfig)
+    kw = dict(latent_dim=256, n_layers=2, n_heads=2, cond_dim=64,
+              resnet_type="18", use_int8_moe=True, use_pallas_attn=True,
+              use_int8_attn=True)
+    a_ref = MoDEAgent(MoDEAgentConfig(**kw))
+    a_mk = MoDEAgent(MoDEAgentConfig(**kw, use_megakernel=True))
+    v = a_ref.init_variables(jax.random.PRNGKey(0), image_hw=(32, 32))
+    v = a_ref.quantize_for_inference(v)
+    rng = np.random.default_rng(0)
+    emb = {"state_images": jnp.asarray(rng.standard_normal((4, 2, 512)),
+                                       jnp.float32)}
+    lang = jnp.asarray(rng.standard_normal((4, 1, 64)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = a_ref.denoise_actions(v, emb, lang, key, inference=True,
+                                use_routing_precompute=True)
+    got = a_mk.denoise_actions(v, emb, lang, key, inference=True,
+                               use_routing_precompute=True)
+    assert got.shape == (4, 10, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4,
+                               rtol=1e-3)
+
+
 def test_megakernel_through_model():
     """use_megakernel=True agent denoise == the default-kernel agent on the
     routing-precompute fast path (CPU interpret)."""

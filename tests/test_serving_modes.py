@@ -88,6 +88,21 @@ def test_serving_mode_matches_reference(small_setup, mode, budget):
     assert mae <= budget, (mode, mae)
 
 
+def test_b1_latency_max_runs_finite(small_setup):
+    """b1-latency-max (int8 attention inside the megakernel) is documented
+    as over-budget; assert it enables the right flags and stays in the
+    measured error range."""
+    agent, variables, batch = small_setup
+    key = jax.random.PRNGKey(7)
+    ref = _chunk(agent, variables, batch, key)
+    fast_agent, fast_vars = apply_serving_mode(agent, variables,
+                                               "b1-latency-max")
+    assert fast_agent.cfg.use_int8_attn and fast_agent.cfg.use_megakernel
+    out = _chunk(fast_agent, fast_vars, batch, key)
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 0.1
+
+
 @pytest.mark.slow
 def test_max_throughput_runs_finite(small_setup):
     """max-throughput (int8 encoders + int8 attention) is documented as
