@@ -199,7 +199,7 @@ def main(argv=None):
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--serving-mode", default="auto",
                    help="TPU fast-path preset: reference | parity | "
-                        "max-throughput | b1-latency | auto (parity on TPU, "
+                        "max-throughput | b1-latency | b1-latency-max | auto (parity on TPU, "
                         "reference elsewhere). docs/PERF.md has the measured "
                         "speed/accuracy of each.")
     p.add_argument("--clip-checkpoint", default=None,

@@ -46,7 +46,7 @@ def main(argv=None):
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--serving-mode", default="auto",
                    help="TPU fast-path preset: reference | parity | "
-                        "max-throughput | b1-latency | auto")
+                        "max-throughput | b1-latency | b1-latency-max | auto")
     p.add_argument("--clip-checkpoint", default=None)
     p.add_argument("--log-dir", default="eval_results_libero")
     p.add_argument("--fake-env", action="store_true")
