@@ -199,10 +199,7 @@ def fused_attn_block(x: jax.Array, c: jax.Array, ln_g: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _qrows(x):
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
-    return q, s
+from .quant_math import quant_rows as _qrows
 
 
 def _kernel_q8(x_ref, c_ref, lng_ref, wqkv_ref, sqkv_ref, bqkv_ref, qgt_ref,

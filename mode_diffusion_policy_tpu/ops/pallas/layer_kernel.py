@@ -33,23 +33,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .moe_kernel import _norm_tables
+from .quant_math import dot_i8 as _dot_i8
+from .quant_math import quant_rows as _qrows
 
 
 def _rmsnorm_rows(x32, g_ref, eps):
     D = x32.shape[1]
     norm = jnp.sqrt(jnp.sum(x32 * x32, axis=1, keepdims=True)) * (D ** -0.5)
     return x32 / jnp.maximum(norm, eps) * g_ref[0].astype(jnp.float32)
-
-
-def _qrows(x):
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-def _dot_i8(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
 
 
 def _kernel(idx_ref, probs_ref, step_ref,

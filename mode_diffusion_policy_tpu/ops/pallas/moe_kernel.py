@@ -300,19 +300,8 @@ def fused_top2_mlp_q8(x: jax.Array, top2_idx: jax.Array,
 # Accuracy: ~1e-2 relative on the MoE output (see tests); opt-in fast path.
 # ---------------------------------------------------------------------------
 
-def _quant_rows(x):
-    """Per-row symmetric int8 quantization: returns (int8 x, fp32 scale).
-    Divides by the scale via a per-row reciprocal multiply — elementwise
-    divides are multi-op on the VPU and this runs serialized between the two
-    MXU dots."""
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x * (1.0 / s)), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-def _dot_i8(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+from .quant_math import dot_i8 as _dot_i8
+from .quant_math import quant_rows as _quant_rows
 
 
 def _kernel_q8c(idx_ref, probs_ref, step_ref, x_ref, lng_ref, w1v_ref,
