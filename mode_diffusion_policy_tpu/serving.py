@@ -18,10 +18,11 @@ Modes (one v5e chip, b=128 e2e, measured docs/PERF.md):
                       encoders: 1880 chunks/s, action MAE vs bf16 6e-5
                       (20x under the 1e-3 budget).
 - ``max-throughput``  int8 attention projections (two-kernel path) + int8
-                      encoder convs: 2134 chunks/s (round-5 re-measure on
-                      the quant-scratch kernels), action MAE ~6e-3 — over
-                      the parity budget; validate on your checkpoint's task
-                      metric before serving.
+                      encoder convs: 2038-2134 chunks/s (round-5 re-measure
+                      on the quant-scratch kernels; same-session A/B keeps
+                      this pairing ~0.7% ahead of the int8 fused layer),
+                      action MAE ~6e-3 — over the parity budget; validate
+                      on your checkpoint's task metric before serving.
 - ``b1-latency``      int8 MoE + folded bf16 encoders + the DiT megakernel
                       (whole 12-layer stack in one pallas launch per denoise
                       step, on bf16-precast weights): 6.2 ms per 10-step
