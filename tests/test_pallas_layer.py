@@ -107,6 +107,46 @@ def test_fused_layer_through_model():
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("B,T,BS", [(3, 11, 8), (5, 14, 4), (1, 7, 8)])
+def test_fused_layer_odd_shapes(B, T, BS):
+    """Batch not a multiple of the token block and odd T exercise
+    _block_layout's sublane-granule search + padding; compare against the
+    two-kernel composition at the same shapes. (T=11/7 need 8 samples per
+    block to tile the 8-row sublane granule — the model default of 16
+    always finds one; block_samples too small for T is a documented
+    ValueError.)"""
+    D, H, HH, E = 256, 2, 256, 4
+    hd = D // H
+    rng = np.random.default_rng(10 * B + T)
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((1, 1, D)) * 0.2, jnp.float32)
+    ln1 = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+    ln2 = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((D, 3 * D)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * D) * 0.02, jnp.float32)
+    qg = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    kg = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((D, D)) * 0.05, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, D, 2 * HH)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((E, 2 * HH)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((E, HH, D)) * 0.05, jnp.float32)
+    q = quantize_experts(w1, b1, w2)
+    idx = jnp.asarray([3, 0], jnp.int32)
+    p = jnp.asarray([0.65, 0.35], jnp.float32)
+    from mode_diffusion_policy_tpu.ops.pallas.attn_kernel import (
+        fused_attn_block)
+    xm = fused_attn_block(x, c, ln1, wqkv, bqkv, qg, kg, wout,
+                          block_samples=BS, interpret=True)
+    want = fused_top2_mlp_q8c(xm, idx, p, q, residual=True, ln_g=ln2,
+                              block_tokens=BS * T, block_hidden=128,
+                              interpret=True)
+    got = fused_layer_q8c(x, c, ln1, wqkv, bqkv, qg, kg, wout, ln2, q,
+                          idx, p, block_samples=BS, block_hidden=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
+
+
 def test_fused_layer_int8_attn_matches_two_kernels():
     """qattn= switches the in-kernel attention projections to int8; must
     match the fused_attn_block_q8 + MoE two-kernel composition."""
