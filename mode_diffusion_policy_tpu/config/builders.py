@@ -122,6 +122,16 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
             return v.strip().lower() == "true"
         return default if v is None else bool(v)
 
+    def _validated_norm(v):
+        # a typo'd encoder_norm ("gn", "Group", "groupnorm") would
+        # otherwise fall through _apply_norm's exact-match and silently
+        # train with BatchNorm
+        v = str(v).strip().lower()
+        if v not in ("batch", "group"):
+            raise ValueError(f"encoder_norm must be 'batch' or 'group', "
+                             f"got {v!r}")
+        return v
+
     cfg = MoDEAgentConfig(
         latent_dim=_num(model_cfg.get("latent_dim", 1024), 1024),
         multistep=_num(model_cfg.get("multistep", 10), 10),
@@ -179,7 +189,8 @@ def build_agent(model_cfg: Dict[str, Any], *, dtype=None):
         encoder_remat=_bool(model_cfg.get("encoder_remat"), True),
         # "batch" (reference BN parity) or "group" (GroupNorm(32) training
         # swap, SURVEY §2.3; not loadable from published BN checkpoints)
-        encoder_norm=str(model_cfg.get("encoder_norm", "batch")),
+        encoder_norm=_validated_norm(model_cfg.get("encoder_norm",
+                                                   "batch")),
     )
     agent = MoDEAgent(cfg)
 

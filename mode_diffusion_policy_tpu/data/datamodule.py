@@ -108,6 +108,14 @@ def _pool_worker(dataset, wid, num_workers, chunks, q):
     order and ship ``("batch", idx, batch)`` over this worker's own bounded
     queue. Runs in a spawn/forkserver child: only numpy work happens here;
     anything jax-flavored (the language embedder) runs in the parent."""
+    # guard against accidental axon/TPU registration from any lazy import
+    # this child makes: scrub IN the child, not in the parent — the parent
+    # runs this pool from the prefetcher daemon thread, and mutating the
+    # parent's os.environ there races the main thread's live TPU session
+    # (advisor round 5). Dataset unpickling stays numpy-only by design
+    # (SharedEpisodeCache.__setstate__).
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
     try:
         for bi in range(wid, len(chunks), num_workers):
             items = [dataset[int(j)] for j in chunks[bi]]
@@ -170,14 +178,12 @@ class _WorkerPool:
         W = min(self.num_workers, len(chunks))
         qs = [ctx.Queue(maxsize=self.QUEUE_DEPTH) for _ in range(W)]
         procs = []
-        # children (and the forkserver server they fork from) must never
-        # touch the TPU relay: they do numpy-only work, and an accidental
-        # axon PJRT registration in the server could contend for the chip
-        # grant. The server inherits os.environ at first Process start.
-        scrub = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
-        saved = {k: os.environ.get(k) for k in scrub}
+        # children must never touch the TPU relay; the scrub happens inside
+        # _pool_worker (in the child) rather than by mutating the parent's
+        # os.environ here — this __iter__ runs on the prefetcher daemon
+        # thread, and a parent-side scrub/restore window would race the
+        # main thread's live TPU session (advisor round 5).
         try:
-            os.environ.update(scrub)
             try:
                 for w in range(W):
                     p = ctx.Process(target=_pool_worker,
@@ -189,12 +195,6 @@ class _WorkerPool:
                 # e.g. an unpicklable dataset under spawn/forkserver
                 raise RuntimeError(
                     f"loader worker failed to start: {e!r}") from e
-            finally:
-                for k, v in saved.items():
-                    if v is None:
-                        os.environ.pop(k, None)
-                    else:
-                        os.environ[k] = v
             for bi in range(len(chunks)):
                 q = qs[bi % W]
                 while True:

@@ -17,6 +17,7 @@ steps gather just those two experts' weights.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -28,6 +29,8 @@ from .modedit import (MoDeDiT, MoDeDiTConfig, load_balancing_loss,
 from .encoders.resnet import FiLMResNetPolicy, ResNetEncoderWithFiLM
 from .edm.precond import denoiser_forward, denoiser_loss
 from .edm.schedules import get_noise_schedule
+
+logger = logging.getLogger(__name__)
 
 
 def _dit_vars(variables):
@@ -282,7 +285,17 @@ class MoDEAgent:
         """Fold encoder BatchNorms into conv weights and rewrite the 7x7/2
         stems as space-to-depth 4x4/1 convs (exact transforms). Adds a
         "folded_params" collection which embed_visual_obs prefers on the
-        inference path; train-mode params are untouched."""
+        inference path; train-mode params are untouched.
+
+        GroupNorm encoders (cfg.encoder_norm="group") have no foldable
+        running statistics — the norm is input-dependent — so folding is a
+        no-op for them (serving presets still work; they just keep the
+        unfolded GN graph)."""
+        if self.cfg.encoder_norm != "batch":
+            logger.info("encoder_norm=%r has no foldable statistics; "
+                        "fold_encoders_for_inference is a no-op",
+                        self.cfg.encoder_norm)
+            return variables
         from .encoders.resnet import fold_resnet_params
         folded = {name: fold_resnet_params(variables["params"][name],
                                            variables["batch_stats"][name])
@@ -570,6 +583,10 @@ class MoDEAgent:
 
         mega = None
         if (pre is not None and cfg.use_megakernel and cfg.use_int8_moe
+                # the megakernel embeds the fully fused pallas attention:
+                # honoring use_pallas_attn=False keeps that explicit opt-out
+                # meaningful (and the BENCH_PALLAS_ATTN=0 lever honest)
+                and cfg.use_pallas_attn
                 and cfg.top_k == 2 and not cfg.identity_expert
                 and not cfg.use_shared_expert and not cfg.use_cross_attention
                 and (cfg.latent_dim // cfg.n_heads) % 128 == 0):

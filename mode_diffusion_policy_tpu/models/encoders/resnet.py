@@ -76,6 +76,9 @@ def _apply_norm(x, name, dtype, axis_name, kind, train):
     if kind == "group":
         return nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
                             name=name, dtype=dtype)(x)
+    if kind != "batch":
+        raise ValueError(f"unknown encoder norm kind {kind!r} "
+                         "(expected 'batch' or 'group')")
     return _bn(name, dtype, axis_name)(x, use_running_average=not train)
 
 

@@ -457,7 +457,9 @@ def fused_dit_q8c(x: jax.Array, c: jax.Array, stacked, top2_idx: jax.Array,
               else jnp.asarray(step, jnp.int32).reshape((1,)))
 
     def cix(l, e, k, i, idx, probs, st):
-        return (0, 0) if c_shared else (0, 0)
+        # the cond block is fully resident either way ([1,D] shared row or
+        # the whole [N,D]); no per-grid-step indexing
+        return (0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -582,7 +582,14 @@ def jit_auto_layout(fn, state, *, static_argnums=(), example_args=(),
             # a rejection here leaves ``st`` intact for the relay retry.
             return compiled(st, *dyn)
         except Exception:
-            pass
+            # only a PRE-dispatch entry/layout rejection leaves the donated
+            # state intact. If dispatch already consumed the buffers (a
+            # mid-execution failure: relay INVALID_ARGUMENT, OOM, ...),
+            # retrying would relayout deleted arrays and bury the real
+            # error — re-raise it instead.
+            if any(getattr(x, "is_deleted", lambda: False)()
+                   for x in jax.tree.leaves(st)):
+                raise
         # entry rejected (a different producer: checkpoint restore, another
         # variant, a genuinely re-laid buffer) — re-lay to this program's
         # chosen formats and retry

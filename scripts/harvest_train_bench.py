@@ -1,9 +1,13 @@
 """Harvest the train-lever queue log into the committed BENCH_TRAIN_r05.json.
 
-Reads R5_TRAIN_QUEUE.log (written by scripts/queue/run_r5*_train.sh, which
-run bench_train.py legs on the real chip), keeps the NEWEST JSON result line
-per knob combination plus the newest convergence line, and rewrites the
+Reads the measurement logs, keeps ONE JSON result line per knob
+combination plus the last convergence line, and rewrites the
 driver-checkable record. Run via `make bench-train-record`.
+
+Merge rule: within a log later lines win; across logs R5_TRAIN_QUEUE.log
+(where `make bench-train-record` re-measure legs land) overrides
+R5_MEASURE.log's ad-hoc rows — so a fresh re-measurement always replaces
+the older ad-hoc number for the same knob combination.
 """
 from __future__ import annotations
 
@@ -12,7 +16,7 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-LOGS = [REPO / "R5_TRAIN_QUEUE.log", REPO / "R5_MEASURE.log"]
+LOGS = [REPO / "R5_MEASURE.log", REPO / "R5_TRAIN_QUEUE.log"]
 OUT = REPO / "BENCH_TRAIN_r05.json"
 
 LABELS = {

@@ -739,3 +739,17 @@ def test_groupnorm_encoder_mode():
         state.train_variables(), batch["rgb_static"], batch["rgb_gripper"],
         batch["lang_emb"], train=False)
     assert np.isfinite(np.asarray(emb["state_images"])).all()
+
+    # GroupNorm has no foldable statistics: fold is a no-op (not a KeyError
+    # crash into the empty batch_stats, and never a silently dropped norm
+    # — advisor round 5), so serving presets keep the unfolded GN graph
+    v_after = agent.fold_encoders_for_inference(state.train_variables())
+    assert "folded_params" not in v_after
+
+
+def test_groupnorm_unknown_kind_rejected():
+    """Typo'd encoder_norm values hard-error instead of silently training
+    with BatchNorm (advisor round 5)."""
+    from mode_diffusion_policy_tpu.config.builders import build_agent
+    with pytest.raises(ValueError, match="encoder_norm"):
+        build_agent({"inner_model": {}, "encoder_norm": "groupnorm"})
