@@ -81,6 +81,11 @@ def test_serving_mode_matches_reference(small_setup, mode, budget):
     assert fast_agent.cfg.use_int8_moe and fast_agent.cfg.use_pallas_moe
     assert fast_agent.cfg.use_pallas_attn
     assert not fast_agent.cfg.use_int8_attn
+    # round 5: both presets compose the halves into the whole-layer kernel,
+    # and the latency preset runs the DiT megakernel — assert the flags so
+    # a silent fallback to the slower composition can't regress unnoticed
+    assert fast_agent.cfg.use_fused_layer
+    assert fast_agent.cfg.use_megakernel == (mode == "b1-latency")
     assert "quant" in fast_vars and "folded_params" in fast_vars
     out = _chunk(fast_agent, fast_vars, batch, key)
     mae = np.abs(out - ref).mean()
